@@ -1,0 +1,204 @@
+"""D-NeRF fields: canonical NeRF + deformation ("time") MLP.
+
+Capability parity with /root/reference/model.py:93-151 (DirectTemporalNeRF)
+and model.py:227-325 (NeRFOriginal):
+
+* ``NeRFOriginal`` — the vanilla trunk with kaiming-normal(fan_in) weight
+  init on every Linear (model.py:270-272) and an ``output_color_ch`` rgb
+  head; its apply returns ``(raw, dx=0)``.
+* ``DirectTemporalNeRF`` — a deformation MLP mapping
+  ``(embed(x), embed(t)) -> dx`` (model.py:113-136), after which the
+  canonical network is queried at the *re-embedded* ``x + dx``
+  (model.py:147-150). With ``zero_canonical`` the deformation is forced to
+  zero at ``t == 0`` (model.py:144-146).
+
+Design delta (deliberate, documented): the reference asserts that every
+point in a batch shares one time and branches on it in Python
+(model.py:142-146). Here the ``t == 0`` short-circuit is an elementwise
+``jnp.where`` per ray, which is XLA-compatible (no data-dependent Python
+branch), reproduces the reference exactly when all times are equal, and
+additionally supports mixed-time ray batches — which is what a TPU wants,
+since it removes the one-image-per-step constraint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models.common import (
+    Field,
+    dense,
+    init_mlp_stack,
+    kaiming_linear_init,
+    torch_linear_init,
+)
+from swnerf_tpu.ops.embedding import embedding_dim, positional_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class DNeRFConfig:
+    netdepth: int = 8
+    netwidth: int = 256
+    skips: Tuple[int, ...] = (4,)
+    multires: int = 10  # xyz AND time freqs (reference run_dnerf.py:252-253)
+    multires_views: int = 4
+    i_embed: int = 0
+    use_viewdirs: bool = True
+    output_ch: int = 4
+    zero_canonical: bool = True
+
+    @property
+    def nf_pts(self) -> int:
+        return self.multires if self.i_embed == 0 else -1
+
+    @property
+    def nf_views(self) -> int:
+        return self.multires_views if self.i_embed == 0 else -1
+
+    @property
+    def nf_time(self) -> int:
+        return self.multires if self.i_embed == 0 else -1
+
+    @property
+    def input_ch(self) -> int:
+        return embedding_dim(self.nf_pts, 3)
+
+    @property
+    def input_ch_views(self) -> int:
+        return embedding_dim(self.nf_views, 3) if self.use_viewdirs else 0
+
+    @property
+    def input_ch_time(self) -> int:
+        return embedding_dim(self.nf_time, 1)
+
+
+def _trunk_dims(cfg: DNeRFConfig, in_ch: int):
+    D, W = cfg.netdepth, cfg.netwidth
+    return [(in_ch, W)] + [
+        ((W + in_ch, W) if i in cfg.skips else (W, W)) for i in range(D - 1)
+    ]
+
+
+def init_nerf_original_params(rng: jax.Array, cfg: DNeRFConfig):
+    """Canonical network params — kaiming init (reference model.py:270-272)."""
+    W = cfg.netwidth
+    keys = jax.random.split(rng, 6)
+    params = {
+        "pts_linears": init_mlp_stack(
+            keys[0], _trunk_dims(cfg, cfg.input_ch), kaiming_linear_init
+        )
+    }
+    if cfg.use_viewdirs:
+        params["views_linears"] = init_mlp_stack(
+            keys[1], [(cfg.input_ch_views + W, W // 2)], kaiming_linear_init
+        )
+        params["feature_linear"] = kaiming_linear_init(keys[2], W, W)
+        params["alpha_linear"] = kaiming_linear_init(keys[3], W, 1)
+        params["rgb_linear"] = kaiming_linear_init(keys[4], W // 2, 3)
+    else:
+        params["output_linear"] = kaiming_linear_init(keys[5], W, cfg.output_ch)
+    return params
+
+
+def apply_nerf_original(params, cfg: DNeRFConfig, pts_emb, views_emb):
+    """Canonical trunk on embedded inputs -> raw [..., 4]."""
+    h = pts_emb
+    for i, lyr in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(dense(lyr, h))
+        if i in cfg.skips:
+            h = jnp.concatenate([pts_emb, h], -1)
+    if cfg.use_viewdirs:
+        alpha = dense(params["alpha_linear"], h)
+        feature = dense(params["feature_linear"], h)
+        h = jnp.concatenate([feature, views_emb], -1)
+        for lyr in params["views_linears"]:
+            h = jax.nn.relu(dense(lyr, h))
+        rgb = dense(params["rgb_linear"], h)
+        return jnp.concatenate([rgb, alpha], -1)
+    return dense(params["output_linear"], h)
+
+
+def init_time_net_params(rng: jax.Array, cfg: DNeRFConfig):
+    """Deformation MLP: (embed(x), embed(t)) -> dx. Reference
+    model.py:113-126 — torch-default Linear init (kaiming is only applied
+    inside NeRFOriginal's own module tree)."""
+    D, W = cfg.netdepth, cfg.netwidth
+    in0 = cfg.input_ch + cfg.input_ch_time
+    dims = [(in0, W)] + [
+        ((W + cfg.input_ch, W) if i in cfg.skips else (W, W)) for i in range(D - 1)
+    ]
+    k1, k2 = jax.random.split(rng)
+    return {
+        "layers": init_mlp_stack(k1, dims, torch_linear_init),
+        "out": torch_linear_init(k2, W, 3),
+    }
+
+
+def apply_time_net(params, cfg: DNeRFConfig, pts_emb, time_emb):
+    h = jnp.concatenate([pts_emb, time_emb], -1)
+    for i, lyr in enumerate(params["layers"]):
+        h = jax.nn.relu(dense(lyr, h))
+        if i in cfg.skips:
+            h = jnp.concatenate([pts_emb, h], -1)
+    return dense(params["out"], h)
+
+
+def make_nerf_original_field(cfg: DNeRFConfig) -> Field:
+    """`--nerf_type original`: static canonical network, time ignored except
+    for embedding-parity of the API. Returns aux dx = zeros
+    (reference model.py:296)."""
+
+    def init(rng):
+        return init_nerf_original_params(rng, cfg)
+
+    def apply(params, pts, viewdirs: Optional[jnp.ndarray], times=None):
+        pts_emb = positional_encoding(pts, cfg.nf_pts)
+        views_emb = None
+        if cfg.use_viewdirs:
+            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+            views_emb = positional_encoding(vd, cfg.nf_views)
+        raw = apply_nerf_original(params, cfg, pts_emb, views_emb)
+        return raw, {"dx": jnp.zeros_like(pts)}
+
+    return Field(init, apply)
+
+
+def make_dnerf_field(cfg: DNeRFConfig) -> Field:
+    """`--nerf_type direct_temporal` (DirectTemporalNeRF)."""
+
+    def init(rng):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "canonical": init_nerf_original_params(k1, cfg),
+            "time_net": init_time_net_params(k2, cfg),
+        }
+
+    def apply(params, pts, viewdirs: Optional[jnp.ndarray], times):
+        """times: [N, 1] per-ray frame time, broadcast over samples."""
+        pts_emb = positional_encoding(pts, cfg.nf_pts)
+        t = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
+        time_emb = positional_encoding(t, cfg.nf_time)
+
+        dx = apply_time_net(params["time_net"], cfg, pts_emb, time_emb)
+        if cfg.zero_canonical:
+            # Elementwise analog of the reference's cur_time == 0 branch
+            # (model.py:144-146); exact match when all times are equal.
+            is_zero = t == 0.0
+            dx = jnp.where(is_zero, jnp.zeros_like(dx), dx)
+            warped_emb = positional_encoding(pts + dx, cfg.nf_pts)
+            pts_emb = jnp.where(is_zero, pts_emb, warped_emb)
+        else:
+            pts_emb = positional_encoding(pts + dx, cfg.nf_pts)
+
+        views_emb = None
+        if cfg.use_viewdirs:
+            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+            views_emb = positional_encoding(vd, cfg.nf_views)
+        raw = apply_nerf_original(params["canonical"], cfg, pts_emb, views_emb)
+        return raw, {"dx": dx}
+
+    return Field(init, apply)

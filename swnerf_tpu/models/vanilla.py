@@ -1,0 +1,114 @@
+"""Vanilla NeRF MLP field.
+
+Capability parity with /root/reference/model.py:10-91 (``vallina_NeRF``):
+D=8, W=256 MLP with a skip concat of the embedded input after layer 4
+(skips=[4]); with view directions, an alpha head off the trunk, a feature
+layer, one W/2 view-conditioned layer, and an rgb head; without view
+directions, a single ``output_ch``-wide head (output_ch=5 when a fine pass
+exists, matching nerf/run.py:231).
+
+TPU-first notes: the field owns its positional encoding (reference does it in
+run_network, nerf/run.py:73-87) so that encode+MLP+heads form one fusion
+region for XLA / one Pallas kernel; weights total ~600k params (~2.4 MB fp32)
+and stay VMEM-resident in the fused kernel. Matmuls accumulate in fp32
+(PSNR-parity requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models.common import Field, dense, init_mlp_stack, torch_linear_init
+from swnerf_tpu.ops.embedding import embedding_dim, positional_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class VanillaNeRFConfig:
+    netdepth: int = 8
+    netwidth: int = 256
+    skips: Tuple[int, ...] = (4,)
+    multires: int = 10  # positional-encoding freqs for xyz
+    multires_views: int = 4  # positional-encoding freqs for view dirs
+    i_embed: int = 0  # 0: fourier encoding, -1: identity
+    use_viewdirs: bool = True
+    output_ch: int = 4  # only used when use_viewdirs=False
+
+    @property
+    def nf_pts(self) -> int:
+        return self.multires if self.i_embed == 0 else -1
+
+    @property
+    def nf_views(self) -> int:
+        return self.multires_views if self.i_embed == 0 else -1
+
+    @property
+    def input_ch(self) -> int:
+        return embedding_dim(self.nf_pts, 3)
+
+    @property
+    def input_ch_views(self) -> int:
+        return embedding_dim(self.nf_views, 3) if self.use_viewdirs else 0
+
+
+def init_vanilla_params(rng: jax.Array, cfg: VanillaNeRFConfig):
+    D, W, in_ch = cfg.netdepth, cfg.netwidth, cfg.input_ch
+    keys = jax.random.split(rng, 6)
+    # Layer i+1 takes W+input_ch when i is a skip (reference model.py:22-23).
+    dims = [(in_ch, W)] + [
+        ((W + in_ch, W) if i in cfg.skips else (W, W)) for i in range(D - 1)
+    ]
+    params = {"pts_linears": init_mlp_stack(keys[0], dims)}
+    if cfg.use_viewdirs:
+        params["views_linears"] = init_mlp_stack(
+            keys[1], [(cfg.input_ch_views + W, W // 2)]
+        )
+        params["feature_linear"] = torch_linear_init(keys[2], W, W)
+        params["alpha_linear"] = torch_linear_init(keys[3], W, 1)
+        params["rgb_linear"] = torch_linear_init(keys[4], W // 2, 3)
+    else:
+        params["output_linear"] = torch_linear_init(keys[5], W, cfg.output_ch)
+    return params
+
+
+def apply_vanilla_trunk(params, cfg: VanillaNeRFConfig, pts_emb, views_emb):
+    """Run the MLP on already-embedded inputs.
+
+    pts_emb: [..., input_ch]; views_emb: [..., input_ch_views] or None.
+    Returns raw [..., 4] (or [..., output_ch] without viewdirs).
+    """
+    h = pts_emb
+    for i, lyr in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(dense(lyr, h))
+        if i in cfg.skips:
+            h = jnp.concatenate([pts_emb, h], -1)
+
+    if cfg.use_viewdirs:
+        alpha = dense(params["alpha_linear"], h)
+        feature = dense(params["feature_linear"], h)
+        h = jnp.concatenate([feature, views_emb], -1)
+        for lyr in params["views_linears"]:
+            h = jax.nn.relu(dense(lyr, h))
+        rgb = dense(params["rgb_linear"], h)
+        return jnp.concatenate([rgb, alpha], -1)
+    return dense(params["output_linear"], h)
+
+
+def make_vanilla_field(cfg: VanillaNeRFConfig) -> Field:
+    def init(rng: jax.Array):
+        return init_vanilla_params(rng, cfg)
+
+    def apply(params, pts, viewdirs: Optional[jnp.ndarray], times=None):
+        del times  # static scene
+        pts_emb = positional_encoding(pts, cfg.nf_pts)
+        views_emb = None
+        if cfg.use_viewdirs:
+            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+            views_emb = positional_encoding(vd, cfg.nf_views)
+        raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)
+        return raw, {}
+
+    return Field(init, apply)

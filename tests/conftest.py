@@ -1,0 +1,36 @@
+"""Test config: force an 8-device CPU platform BEFORE jax initializes.
+
+This is the TPU analog of the reference's cpu/cuda device fixture
+(d_nerf/torchsearchsorted/test/conftest.py): the same suite that exercises
+multi-chip sharding on real TPUs runs here on a simulated 8-device host mesh.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The image's sitecustomize may have pre-registered a remote TPU backend at
+# interpreter start (which would silently route every test's compile through
+# a single-TPU tunnel). Force the host-CPU platform; with the XLA_FLAGS
+# above this yields the 8-device simulated mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+# Persistent compilation cache: the suite compiles many small programs; this
+# makes re-runs near-instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/swnerf_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)

@@ -1,0 +1,146 @@
+"""Render-core tests: coarse/fine pipeline, z_vals override, chunked image."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.render import (
+    Rays,
+    RenderConfig,
+    make_rays_from_camera,
+    render_image,
+    render_rays,
+)
+
+
+def _make_rays(n=16, with_time=False):
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(
+        origins=jnp.zeros((n, 3)),
+        directions=jnp.asarray(d),
+        viewdirs=jnp.asarray(d),
+        near=jnp.full((n,), 2.0),
+        far=jnp.full((n,), 6.0),
+        times=jnp.full((n, 1), 0.5) if with_time else None,
+    )
+    return rays
+
+
+def _setup():
+    cfg = VanillaNeRFConfig(netdepth=3, netwidth=32, skips=(1,), multires=4, multires_views=2)
+    field = make_vanilla_field(cfg)
+    params = field.init(jax.random.PRNGKey(0))
+    return field, params
+
+
+class TestRenderRays:
+    def test_coarse_only(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=0, perturb=0.0)
+        out = render_rays(field, params, _make_rays(), cfg)
+        assert out["rgb"].shape == (16, 3)
+        assert out["weights"].shape == (16, 8)
+        assert out["z_vals"].shape == (16, 8)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+        assert "rgb0" not in out
+
+    def test_hierarchical(self):
+        field, params = _setup()
+        fine_params = field.init(jax.random.PRNGKey(1))
+        cfg = RenderConfig(n_samples=8, n_importance=16, perturb=1.0)
+        out = render_rays(
+            field, params, _make_rays(), cfg,
+            rng=jax.random.PRNGKey(2), fine_params=fine_params,
+        )
+        assert out["rgb"].shape == (16, 3)
+        assert out["z_vals"].shape == (16, 24)
+        assert out["rgb0"].shape == (16, 3)
+        assert out["z_std"].shape == (16,)
+        # Merged depths sorted.
+        assert (np.diff(np.asarray(out["z_vals"]), axis=-1) >= 0).all()
+
+    def test_coarse_stop_grad_mode(self):
+        """D-NeRF shared-model fine: no coarse outputs, no coarse grads."""
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0, coarse_contributes=False)
+        out = render_rays(field, params, _make_rays(), cfg)
+        assert "rgb0" not in out
+
+        def loss(p):
+            o = render_rays(field, p, _make_rays(), cfg)
+            return jnp.sum(o["rgb"] ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+    def test_z_vals_override(self):
+        """External z_vals reuse (D-NeRF TV loss) renders at exactly those depths."""
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, perturb=0.0)
+        first = render_rays(field, params, _make_rays(), cfg)
+        second = render_rays(field, params, _make_rays(), cfg, z_vals=first["z_vals"])
+        np.testing.assert_allclose(
+            np.asarray(first["rgb"]), np.asarray(second["rgb"]), atol=1e-6
+        )
+
+    def test_deterministic_eval(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=1.0, raw_noise_std=1.0)
+        ecfg = cfg.eval_mode()
+        a = render_rays(field, params, _make_rays(), ecfg)
+        b = render_rays(field, params, _make_rays(), ecfg)
+        np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+    def test_grad_flows_coarse_and_fine(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0)
+
+        def loss(p):
+            o = render_rays(field, p, _make_rays(), cfg)
+            return jnp.sum(o["rgb"] ** 2) + jnp.sum(o["rgb0"] ** 2)
+
+        g = jax.grad(loss)(params)
+        norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
+        assert all(np.isfinite(norms))
+        assert sum(norms) > 0
+
+
+class TestRenderImage:
+    def test_matches_unchunked(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, perturb=0.0)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 4.0
+        rays = make_rays_from_camera(8, 12, 10.0, c2w, near=2.0, far=6.0)
+        full = render_rays(field, params, rays, cfg)
+        chunked = render_image(field, params, rays, cfg, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(full["rgb"]), np.asarray(chunked["rgb"]), atol=1e-6
+        )
+        assert chunked["rgb"].shape == (96, 3)
+
+    def test_nondivisible_chunk(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, perturb=0.0)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 4.0
+        rays = make_rays_from_camera(5, 7, 6.0, c2w, near=2.0, far=6.0)  # 35 rays
+        full = render_rays(field, params, rays, cfg)
+        chunked = render_image(field, params, rays, cfg, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(full["rgb"]), np.asarray(chunked["rgb"]), atol=1e-6
+        )
+
+    def test_jit_render(self):
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=1.0)
+
+        @jax.jit
+        def step(p, rays, key):
+            return render_rays(field, p, rays, cfg, rng=key)["rgb"]
+
+        out = step(params, _make_rays(), jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(out)).all()
