@@ -1,0 +1,81 @@
+"""Benchmark: training-step throughput on the reference lego workload.
+
+Metric: ray-samples/sec/chip on the full lego config — 1024 rays x (64
+coarse + 64+128 fine) = 262144 MLP point-evals per optimizer step (reference
+nerf/configs/lego.txt:13-19, nerf/run.py:389-407). Baseline (north star,
+BASELINE.json): 10M ray-samples/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_RAY_SAMPLES_PER_SEC = 10e6  # BASELINE.json north star
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from swnerf_tpu.data.synthetic import render_gt
+    from swnerf_tpu.train import make_optimizer, make_train_step
+    from swnerf_tpu.train.loop import init_train_state
+    from __graft_entry__ import _flagship
+
+    field, params, rcfg, rays = _flagship()
+    n_rays = rays.origins.shape[0]
+    samples_per_step = n_rays * (2 * rcfg.n_samples + rcfg.n_importance)
+
+    target = render_gt(rays, n_samples=64)
+    opt = make_optimizer()
+    state = init_train_state(params, opt)
+    step = make_train_step(field, rcfg, opt)
+    key = jax.random.PRNGKey(0)
+
+    iters = 100
+
+    # K steps inside one lax.scan = one dispatch; immune to async-dispatch
+    # timing artifacts and representative of a production step loop.
+    @jax.jit
+    def run_steps(state):
+        def body(s, _):
+            s, m = step(s, rays, target, key)
+            return s, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, None, length=iters)
+        return state, losses
+
+    # Warmup / compile.
+    state, losses = run_steps(state)
+    float(losses[-1])
+
+    t0 = time.perf_counter()
+    state, losses = run_steps(state)
+    final_loss = float(losses[-1])  # host transfer forces full execution
+    dt = time.perf_counter() - t0
+    assert jnp.isfinite(final_loss)
+
+    steps_per_sec = iters / dt
+    value = steps_per_sec * samples_per_step / jax.device_count()
+    print(
+        json.dumps(
+            {
+                "metric": "train ray-samples/sec/chip (lego 1024x(64+192), fp32-parity)",
+                "value": round(value, 1),
+                "unit": "ray-samples/s/chip",
+                "vs_baseline": round(value / BASELINE_RAY_SAMPLES_PER_SEC, 4),
+                "extra": {
+                    "iters_per_sec": round(steps_per_sec, 3),
+                    "n_devices": jax.device_count(),
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

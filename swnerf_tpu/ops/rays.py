@@ -72,6 +72,29 @@ def get_rays_np(H: int, W: int, focal_or_K, c2w):
     return rays_o, rays_d
 
 
+def get_rays_at(pixels, H: int, W: int, focal_or_K, c2w):
+    """Rays for a *subset* of pixels — TPU-first replacement for the
+    reference's generate-all-then-gather pattern (nerf/run.py:660-679, which
+    builds the full H x W grid and indexes N_rand rows out of it). Computing
+    only the selected pixels' directions avoids materializing the H*W grid
+    every training step.
+
+    Args:
+      pixels: [N, 2] integer (row, col) = (y, x) pixel coordinates.
+      H, W, focal_or_K, c2w: as in :func:`get_rays`.
+
+    Returns:
+      rays_o, rays_d: each [N, 3].
+    """
+    c2w = jnp.asarray(c2w)
+    j = pixels[:, 0].astype(jnp.float32)  # row
+    i = pixels[:, 1].astype(jnp.float32)  # col
+    dirs = _pixel_dirs(i, j, H, W, focal_or_K, jnp)
+    rays_d = jnp.sum(dirs[..., None, :] * c2w[:3, :3], -1)
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
 def ndc_rays(H: int, W: int, focal: float, near: float, rays_o, rays_d):
     """Shift origins to the near plane and project to NDC
     (LLFF forward-facing; reference ray.py:75-92)."""

@@ -1,0 +1,129 @@
+"""Training-layer tests: LR schedule golden values, overfit sanity, and
+data-parallel equivalence on the simulated 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swnerf_tpu.data.synthetic import render_gt
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from swnerf_tpu.render import Rays, RenderConfig
+from swnerf_tpu.train import (
+    exp_decay_schedule,
+    make_optimizer,
+    make_train_step,
+)
+from swnerf_tpu.train.loop import init_train_state
+
+
+def _ray_batch(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 4.0
+    rays = Rays(
+        origins=jnp.asarray(o),
+        directions=jnp.asarray(d),
+        viewdirs=jnp.asarray(d),
+        near=jnp.full((n,), 2.0),
+        far=jnp.full((n,), 6.0),
+        times=None,
+    )
+    target = render_gt(rays, n_samples=64)
+    return rays, target
+
+
+def _tiny_setup(n_importance=0):
+    mcfg = VanillaNeRFConfig(netdepth=4, netwidth=64, skips=(2,), multires=6, multires_views=2)
+    field = make_vanilla_field(mcfg)
+    cfg = RenderConfig(n_samples=24, n_importance=n_importance, perturb=1.0, white_bkgd=True)
+    opt = make_optimizer(lrate=5e-3, lrate_decay=250)
+    params = {
+        "coarse": field.init(jax.random.PRNGKey(0)),
+        "fine": field.init(jax.random.PRNGKey(1)) if n_importance else None,
+    }
+    state = init_train_state(params, opt)
+    step = make_train_step(field, cfg, opt)
+    return field, cfg, opt, state, step
+
+
+class TestSchedule:
+    def test_golden_values(self):
+        s = exp_decay_schedule(5e-4, 250)
+        assert float(s(0)) == pytest.approx(5e-4)
+        assert float(s(250_000)) == pytest.approx(5e-5, rel=1e-6)
+        assert float(s(125_000)) == pytest.approx(5e-4 * 0.1**0.5, rel=1e-6)
+
+    def test_adam_lr_applied(self):
+        """One Adam step from zero-moment on constant grads moves params by
+        ~lr in the grad direction."""
+        import optax
+
+        opt = make_optimizer(lrate=1e-3, lrate_decay=250)
+        p = {"w": jnp.zeros(4)}
+        st = opt.init(p)
+        g = {"w": jnp.ones(4)}
+        up, st = opt.update(g, st, p)
+        np.testing.assert_allclose(np.asarray(up["w"]), -1e-3, rtol=1e-4)
+
+
+class TestOverfit:
+    def test_loss_decreases(self):
+        _, _, _, state, step = _tiny_setup()
+        rays, target = _ray_batch()
+        jstep = jax.jit(step)
+        key = jax.random.PRNGKey(42)
+        first = None
+        for i in range(150):
+            state, metrics = jstep(state, rays, target, key)
+            if first is None:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(last)
+        assert last < first * 0.2, (first, last)
+
+    def test_hierarchical_trains(self):
+        _, _, _, state, step = _tiny_setup(n_importance=8)
+        rays, target = _ray_batch()
+        jstep = jax.jit(step)
+        key = jax.random.PRNGKey(0)
+        for _ in range(30):
+            state, metrics = jstep(state, rays, target, key)
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert "psnr0" in metrics
+        assert int(state.step) == 30
+
+
+class TestDataParallel:
+    def test_sharded_matches_single(self):
+        """The psum-reduced 8-way sharded step equals the single-device step."""
+        assert jax.device_count() >= 8
+        _, _, _, state0, step = _tiny_setup()
+        rays, target = _ray_batch(n=256)
+        key = jax.random.PRNGKey(7)
+
+        jstep = jax.jit(step)
+        s_single = state0
+        for _ in range(3):
+            s_single, m_single = jstep(s_single, rays, target, key)
+
+        mesh = make_mesh()
+        pstep = shard_train_step(step, mesh, donate_state=False)
+        s_par = jax.device_put(state0, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        srays, stgt = shard_batch(mesh, (rays, target))
+        for _ in range(3):
+            s_par, m_par = pstep(s_par, srays, stgt, key)
+
+        for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_par.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        assert float(m_single["loss"]) == pytest.approx(float(m_par["loss"]), abs=1e-5)
+
+    def test_batch_sharding_layout(self):
+        mesh = make_mesh()
+        rays, target = _ray_batch(n=256)
+        srays, stgt = shard_batch(mesh, (rays, target))
+        assert len(srays.origins.sharding.device_set) == 8
