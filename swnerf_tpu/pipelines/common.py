@@ -1,0 +1,362 @@
+"""Shared pipeline machinery: dataset dispatch, ray sampling strategies,
+path rendering, eval metrics dumps.
+
+This is the one implementation of what the reference copy-pastes per runner
+(dataset switch run.py:431-511, ray pool run.py:601-650, per-image sampling
+with precrop run.py:652-681, render_path run.py:172-219, render_only metrics
+run.py:557-596).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models.common import Field
+from swnerf_tpu.ops.rays import get_rays_at, get_rays_np
+from swnerf_tpu.render.core import (
+    Rays,
+    RenderConfig,
+    build_rays,
+    make_rays_from_camera,
+    render_image,
+)
+from swnerf_tpu.utils.media import write_png, write_video
+from swnerf_tpu.utils.metrics import calculate_metrics, to8b
+
+
+@dataclasses.dataclass
+class Scene:
+    """Loaded dataset + camera/bounds metadata."""
+
+    images: np.ndarray  # [N,H,W,3] float32 (already bkgd-composited)
+    poses: np.ndarray  # [N,4,4] or [N,3,5]
+    render_poses: np.ndarray
+    H: int
+    W: int
+    focal: float
+    K: np.ndarray  # [3,3]
+    near: float
+    far: float
+    i_train: np.ndarray
+    i_val: np.ndarray
+    i_test: np.ndarray
+    ndc: bool = False
+    times: Optional[np.ndarray] = None  # [N] frame times (dynamic sets)
+    render_times: Optional[np.ndarray] = None
+
+
+def _composite_background(images: np.ndarray, white_bkgd: bool) -> np.ndarray:
+    if images.shape[-1] == 4:
+        if white_bkgd:
+            return images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+        return images[..., :3]
+    return images
+
+
+def load_scene(args) -> Scene:
+    """Dataset dispatch (reference run.py:431-511)."""
+    K = None
+    times = render_times = None
+    ndc = False
+    if args.dataset_type == "llff":
+        from swnerf_tpu.data.llff import load_llff_data
+
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            args.datadir, args.factor, recenter=True, bd_factor=0.75, spherify=args.spherify
+        )
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        if args.llffhold > 0:
+            i_test = np.arange(images.shape[0])[:: args.llffhold]
+        else:
+            i_test = np.array([i_test])
+        i_val = i_test
+        i_train = np.array(
+            [i for i in np.arange(images.shape[0]) if i not in i_test and i not in i_val]
+        )
+        if args.no_ndc:
+            near, far = float(bds.min() * 0.9), float(bds.max() * 1.0)
+        else:
+            near, far = 0.0, 1.0
+            ndc = True
+    elif args.dataset_type == "blender":
+        from swnerf_tpu.data.blender import load_blender_data
+
+        images, poses, render_poses, hwf, i_split = load_blender_data(
+            args.datadir, args.half_res, args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        near, far = 2.0, 6.0
+        images = _composite_background(images, args.white_bkgd)
+    elif args.dataset_type == "blender_dnerf":
+        from swnerf_tpu.data.blender import load_blender_dynamic_data
+
+        images, poses, times, render_poses, render_times, hwf, i_split = (
+            load_blender_dynamic_data(args.datadir, args.half_res, args.testskip)
+        )
+        i_train, i_val, i_test = i_split
+        near, far = 2.0, 6.0
+        images = _composite_background(images, args.white_bkgd)
+    elif args.dataset_type == "LINEMOD":
+        from swnerf_tpu.data.linemod import load_linemod_data
+
+        images, poses, render_poses, hwf, K, i_split, near, far = load_linemod_data(
+            args.datadir, args.half_res, args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        images = _composite_background(images, args.white_bkgd)
+    elif args.dataset_type == "deepvoxels":
+        from swnerf_tpu.data.deepvoxels import load_dv_data
+
+        images, poses, render_poses, hwf, i_split = load_dv_data(
+            scene=args.shape, basedir=args.datadir, testskip=args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
+        near, far = hemi_r - 1.0, hemi_r + 1.0
+    elif args.dataset_type == "custom":
+        from swnerf_tpu.data.custom import load_custom_data
+
+        images, poses, render_poses, K, hwf, i_split = load_custom_data(
+            args.datadir, args.half_res, args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        near, far = 1.0, 6.0
+        images = _composite_background(images, args.white_bkgd)
+    else:
+        raise ValueError(f"Unknown dataset type {args.dataset_type!r}")
+
+    H, W, focal = hwf
+    H, W = int(H), int(W)
+    if K is None:
+        K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+    K = np.asarray(K, dtype=np.float64)
+
+    if getattr(args, "render_test", False):
+        render_poses = np.array(poses[i_test])
+        if times is not None:
+            render_times = np.array(times[i_test])
+
+    return Scene(
+        images=np.asarray(images, np.float32),
+        poses=np.asarray(poses, np.float32),
+        render_poses=np.asarray(render_poses, np.float32),
+        H=H,
+        W=W,
+        focal=float(focal),
+        K=K,
+        near=float(near),
+        far=float(far),
+        i_train=np.asarray(i_train),
+        i_val=np.asarray(i_val),
+        i_test=np.asarray(i_test),
+        ndc=ndc,
+        times=times,
+        render_times=render_times,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ray sampling strategies
+# ---------------------------------------------------------------------------
+
+
+class RayPoolSampler:
+    """Pre-shuffled all-image ray pool (reference use_batching path,
+    run.py:601-650). The pool lives on device; the host only walks a numpy
+    permutation and ships [N_rand] int32 index slices per step — the gather
+    runs inside jit."""
+
+    def __init__(self, scene: Scene, n_rand: int, seed: int = 0):
+        rays = np.stack(
+            [get_rays_np(scene.H, scene.W, scene.K, p[:3, :4]) for p in scene.poses],
+            0,
+        )  # [N, 2(o,d), H, W, 3]
+        rays = np.transpose(rays, [0, 2, 3, 1, 4])  # [N,H,W,2,3]
+        rays = rays[scene.i_train]
+        rgb = scene.images[scene.i_train][..., None, :3]  # [Nt,H,W,1,3]
+        pool = np.concatenate([rays, rgb], -2).reshape(-1, 3, 3).astype(np.float32)
+        self._rng = np.random.default_rng(seed)
+        self.pool = jnp.asarray(pool)  # device-resident [Np,3,3]
+        self.n = pool.shape[0]
+        self.n_rand = n_rand
+        self._perm = self._rng.permutation(self.n)
+        self._i = 0
+
+    def next_indices(self) -> np.ndarray:
+        if self._i + self.n_rand > self.n:
+            self._perm = self._rng.permutation(self.n)
+            self._i = 0
+        idx = self._perm[self._i : self._i + self.n_rand]
+        self._i += self.n_rand
+        return idx.astype(np.int32)
+
+
+class ImageSampler:
+    """Per-image random pixels with center-crop curriculum (reference
+    no_batching path, run.py:652-681). The host picks the image and pixel
+    coordinates (seeded numpy choice without replacement); ray generation for
+    just those pixels runs on device (ops.rays.get_rays_at)."""
+
+    def __init__(self, scene: Scene, n_rand: int, precrop_iters: int, precrop_frac: float, seed: int = 0):
+        self.scene = scene
+        self.n_rand = n_rand
+        self.precrop_iters = precrop_iters
+        self.precrop_frac = precrop_frac
+        self._rng = np.random.default_rng(seed)
+        H, W = scene.H, scene.W
+        dH = int(H // 2 * precrop_frac)
+        dW = int(W // 2 * precrop_frac)
+        ys, xs = np.meshgrid(
+            np.arange(H // 2 - dH, H // 2 + dH), np.arange(W // 2 - dW, W // 2 + dW), indexing="ij"
+        )
+        self._crop_coords = np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        self._full_coords = np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)
+
+    def next(self, step: int) -> Tuple[int, np.ndarray]:
+        img_i = int(self._rng.choice(self.scene.i_train))
+        coords = self._crop_coords if step < self.precrop_iters else self._full_coords
+        sel = self._rng.choice(coords.shape[0], size=self.n_rand, replace=False)
+        return img_i, coords[sel]
+
+
+def make_pool_step(train_step, cfg: RenderConfig, scene: Scene):
+    """Wrap a train step to consume (pool, idx): unpack o/d/rgb, build Rays."""
+
+    def step(state, pool, idx, rng, times=None):
+        batch = pool[idx]  # [N,3,3]
+        rays_o, rays_d, target = batch[:, 0], batch[:, 1], batch[:, 2]
+        rays = build_rays(
+            rays_o,
+            rays_d,
+            scene.near,
+            scene.far,
+            use_viewdirs=cfg.use_viewdirs,
+            ndc=scene.ndc,
+            H=scene.H,
+            W=scene.W,
+            focal=scene.focal,
+            times=times,
+        )
+        return train_step(state, rays, target, rng)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_image_step(train_step, cfg: RenderConfig, scene: Scene):
+    """Wrap a train step to consume (images, poses, img_i, pixels): generate
+    rays only at the chosen pixels, gather targets, build Rays."""
+    K = scene.K
+    H, W = scene.H, scene.W
+
+    def step(state, images, poses, img_i, pixels, rng, time_val=None):
+        c2w = poses[img_i][:3, :4]
+        rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
+        target = images[img_i][pixels[:, 0], pixels[:, 1]]
+        times = None
+        if time_val is not None:
+            times = jnp.full((pixels.shape[0], 1), time_val, dtype=jnp.float32)
+        rays = build_rays(
+            rays_o,
+            rays_d,
+            scene.near,
+            scene.far,
+            use_viewdirs=cfg.use_viewdirs,
+            ndc=scene.ndc,
+            H=H,
+            W=W,
+            focal=scene.focal,
+            times=times,
+        )
+        return train_step(state, rays, target, rng)
+
+    return jax.jit(step, donate_argnums=(0,), static_argnums=())
+
+
+# ---------------------------------------------------------------------------
+# Path rendering + eval
+# ---------------------------------------------------------------------------
+
+
+def render_path(
+    field: Field,
+    params,
+    fine_params,
+    poses: np.ndarray,
+    scene: Scene,
+    cfg: RenderConfig,
+    chunk: int,
+    savedir: Optional[str] = None,
+    render_factor: int = 0,
+    times: Optional[np.ndarray] = None,
+    save_also_gt: Optional[np.ndarray] = None,
+):
+    """Render a pose path (reference render_path run.py:172-219). Returns
+    (rgbs [T,H,W,3], disps [T,H,W])."""
+    H, W, focal = scene.H, scene.W, scene.focal
+    K = scene.K
+    if render_factor != 0:
+        H, W = H // render_factor, W // render_factor
+        focal = focal / render_factor
+        K = K / render_factor
+        K[2, 2] = 1.0
+
+    ecfg = cfg.eval_mode()
+    rgbs, disps = [], []
+    t0 = time.time()
+    for i, c2w in enumerate(poses):
+        t = None if times is None else float(times[i])
+        rays = make_rays_from_camera(
+            H, W, K, c2w[:3, :4], scene.near, scene.far,
+            use_viewdirs=ecfg.use_viewdirs, ndc=scene.ndc, time=t,
+        )
+        out = render_image(field, params, rays, ecfg, chunk=chunk, fine_params=fine_params)
+        rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
+        disp = np.asarray(out["disp"]).reshape(H, W)
+        rgbs.append(rgb)
+        disps.append(disp)
+        if savedir is not None:
+            write_png(os.path.join(savedir, f"{i:03d}.png"), rgb)
+            if save_also_gt is not None:
+                write_png(os.path.join(savedir, f"gt_{i:03d}.png"), save_also_gt[i])
+        print(f"render_path {i}/{len(poses)} {time.time() - t0:.2f}s", flush=True)
+        t0 = time.time()
+    return np.stack(rgbs), np.stack(disps)
+
+
+def render_only(
+    field, params, fine_params, scene: Scene, cfg: RenderConfig, args, start: int
+) -> str:
+    """The --render_only path (run.py:557-596): render test poses or the
+    spiral path, write video + PNGs, and metrics.json when GT is known."""
+    suffix = "test" if args.render_test else "path"
+    savedir = os.path.join(args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}")
+    os.makedirs(savedir, exist_ok=True)
+
+    gt = scene.images[scene.i_test] if args.render_test else None
+    rgbs, _ = render_path(
+        field, params, fine_params, scene.render_poses, scene, cfg,
+        chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
+        times=scene.render_times,
+    )
+    write_video(os.path.join(savedir, "video.mp4"), rgbs)
+
+    if gt is not None and args.render_factor == 0:
+        psnrs, ssims, lpipss = [], [], []
+        for g, p in zip(gt, rgbs):
+            a, b, c = calculate_metrics(g, p)
+            psnrs.append(a)
+            ssims.append(b)
+            lpipss.append(c)
+        with open(os.path.join(savedir, "metrics.json"), "w") as f:
+            json.dump({"psnr": psnrs, "ssim": ssims, "lpips": lpipss}, f, indent=4)
+    return savedir

@@ -1,0 +1,226 @@
+"""Vanilla NeRF trainer CLI.
+
+Usage parity with the reference (`python nerf/run.py --config
+configs/<scene>.txt [--render_only --render_test ...]`, README.md:10-30):
+same flags (utils.py:16-99), same artifact layout (logs/<exp>/args.txt,
+{iter:06d}.tar checkpoints, <exp>_spiral_{iter}_rgb.mp4 videos,
+testset_{iter}/ dumps, renderonly_*/metrics.json), same schedule constants
+(fixed 200 001 iterations, run.py:625).
+
+TPU-first deltas: one jitted train step (sampling + both field passes +
+loss + Adam fused, params donated); ray generation only at sampled pixels;
+device-resident ray pool with host-side permutation walking; lax.map tiled
+eval rendering; steps/sec + ray-samples/sec/chip throughput logging.
+SWNERF_MAX_ITERS / SWNERF_DISABLE_JIT_CACHE env vars exist for testing only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.pipelines.common import (
+    ImageSampler,
+    RayPoolSampler,
+    load_scene,
+    make_image_step,
+    make_pool_step,
+    render_only,
+    render_path,
+)
+from swnerf_tpu.render.core import RenderConfig
+from swnerf_tpu.train import make_optimizer, make_train_step
+from swnerf_tpu.train.checkpoint import (
+    adam_to_torch_dict,
+    find_checkpoints,
+    load_tar,
+    params_to_state_dict,
+    save_tar,
+    state_dict_to_params,
+    torch_dict_to_adam,
+)
+from swnerf_tpu.train.loop import TrainState, exp_decay_schedule, init_train_state
+from swnerf_tpu.utils.config import config_parser
+from swnerf_tpu.utils.logging import ExperimentLogger, snapshot_args
+from swnerf_tpu.utils.media import write_video
+
+N_ITERS = 200000 + 1  # fixed in the vanilla runner (reference run.py:625)
+
+
+def create_vanilla(args):
+    """Field + params + render config from CLI args (reference create_nerf,
+    run.py:222-311), with .tar auto-resume."""
+    output_ch = 5 if args.N_importance > 0 else 4
+    mcfg = VanillaNeRFConfig(
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        skips=(4,),
+        multires=args.multires,
+        multires_views=args.multires_views,
+        i_embed=args.i_embed,
+        use_viewdirs=args.use_viewdirs,
+        output_ch=output_ch,
+    )
+    field = make_vanilla_field(mcfg)
+    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
+    k1, k2 = jax.random.split(key)
+    params = {"coarse": field.init(k1), "fine": None}
+    if args.N_importance > 0:
+        fcfg = VanillaNeRFConfig(
+            netdepth=args.netdepth_fine,
+            netwidth=args.netwidth_fine,
+            skips=(4,),
+            multires=args.multires,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+            use_viewdirs=args.use_viewdirs,
+            output_ch=output_ch,
+        )
+        params["fine"] = make_vanilla_field(fcfg).init(k2)
+
+    rcfg = RenderConfig(
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb,
+        lindisp=args.lindisp,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        use_viewdirs=args.use_viewdirs,
+    )
+
+    optimizer = make_optimizer(args.lrate, args.lrate_decay)
+    state = init_train_state(params, optimizer)
+
+    start = 0
+    ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload:
+        print("Reloading from", ckpts[-1])
+        ckpt = load_tar(ckpts[-1])
+        start = int(ckpt["global_step"])
+        params = dict(params)
+        params["coarse"] = state_dict_to_params(
+            "vanilla", ckpt["network_fn_state_dict"], params["coarse"]
+        )
+        groups = [("vanilla", "coarse")]
+        if params["fine"] is not None and ckpt.get("network_fine_state_dict"):
+            params["fine"] = state_dict_to_params(
+                "vanilla", ckpt["network_fine_state_dict"], params["fine"]
+            )
+            groups.append(("vanilla", "fine"))
+        opt_state, _ = torch_dict_to_adam(
+            ckpt["optimizer_state_dict"], params, groups, state.opt_state
+        )
+        state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
+
+    return field, rcfg, optimizer, state, start
+
+
+def save_vanilla_ckpt(args, state: TrainState, i: int):
+    """.tar with the vanilla schema (run.py:717-723)."""
+    path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
+    groups = [("vanilla", "coarse")]
+    payload = {
+        "global_step": i,
+        "network_fn_state_dict": params_to_state_dict("vanilla", state.params["coarse"]),
+    }
+    if state.params["fine"] is not None:
+        payload["network_fine_state_dict"] = params_to_state_dict(
+            "vanilla", state.params["fine"]
+        )
+        groups.append(("vanilla", "fine"))
+    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+    payload["optimizer_state_dict"] = adam_to_torch_dict(
+        state.opt_state, state.params, groups, lr
+    )
+    save_tar(path, payload)
+    print("Saved checkpoints at", path)
+
+
+def train(argv=None):
+    args = config_parser().parse_args(argv)
+    scene = load_scene(args)
+
+    os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
+    snapshot_args(args.basedir, args.expname, args, args.config)
+
+    field, rcfg, optimizer, state, start = create_vanilla(args)
+
+    if args.render_only:
+        print("RENDER ONLY")
+        savedir = render_only(
+            field, state.params["coarse"], state.params["fine"], scene, rcfg, args, start
+        )
+        print("Done rendering", savedir)
+        return
+
+    logger = ExperimentLogger(args.basedir, args.expname)
+    train_step = make_train_step(field, rcfg, optimizer)
+    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+
+    use_batching = not args.no_batching
+    if use_batching:
+        sampler = RayPoolSampler(scene, args.N_rand)
+        step_fn = make_pool_step(train_step, rcfg, scene)
+    else:
+        sampler = ImageSampler(scene, args.N_rand, args.precrop_iters, args.precrop_frac)
+        step_fn = make_image_step(train_step, rcfg, scene)
+        images_dev = jnp.asarray(scene.images)
+        poses_dev = jnp.asarray(scene.poses[:, :3, :4])
+
+    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", N_ITERS))
+    samples_per_step = args.N_rand * (
+        rcfg.n_samples + (rcfg.n_samples + rcfg.n_importance if rcfg.n_importance else 0)
+    )
+
+    print("Training Begin")
+    print("TRAIN views are", scene.i_train)
+    print("TEST views are", scene.i_test)
+
+    for i in range(start + 1, n_iters):
+        if use_batching:
+            idx = jnp.asarray(sampler.next_indices())
+            state, metrics = step_fn(state, sampler.pool, idx, base_rng)
+        else:
+            img_i, pixels = sampler.next(i)
+            state, metrics = step_fn(
+                state, images_dev, poses_dev, img_i, jnp.asarray(pixels), base_rng
+            )
+
+        if i % args.i_weights == 0:
+            save_vanilla_ckpt(args, state, i)
+
+        if i % args.i_video == 0 and i > 0:
+            rgbs, disps = render_path(
+                field, state.params["coarse"], state.params["fine"],
+                scene.render_poses, scene, rcfg, args.chunk,
+            )
+            base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
+            write_video(base + "rgb.mp4", rgbs)
+            write_video(base + "disp.mp4", disps / np.max(disps))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
+            testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
+            os.makedirs(testsavedir, exist_ok=True)
+            render_path(
+                field, state.params["coarse"], state.params["fine"],
+                scene.poses[scene.i_test], scene, rcfg, args.chunk, savedir=testsavedir,
+            )
+            print("Saved test set")
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.scalars(i, m)
+            tp = logger.throughput(i, samples_per_step, jax.device_count())
+            rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
+            print(f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    train()

@@ -172,6 +172,37 @@ def render_rays(
     return ret
 
 
+def build_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    use_viewdirs: bool = True,
+    ndc: bool = False,
+    H: int = 0,
+    W: int = 0,
+    focal: float = 0.0,
+    times: Optional[jnp.ndarray] = None,
+) -> Rays:
+    """Pack raw origins/directions into a Rays batch (reference render()
+    packing, run.py:137-158): viewdirs normalized from the pre-NDC
+    directions, optional NDC projection, near/far broadcast."""
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    n = rays_o.shape[0]
+    return Rays(
+        origins=rays_o,
+        directions=rays_d,
+        viewdirs=viewdirs,
+        near=jnp.full((n,), near, dtype=rays_o.dtype),
+        far=jnp.full((n,), far, dtype=rays_o.dtype),
+        times=times,
+    )
+
+
 def make_rays_from_camera(
     H: int,
     W: int,

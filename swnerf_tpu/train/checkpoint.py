@@ -211,14 +211,18 @@ def torch_dict_to_adam(torch_opt: Dict[str, Any], params, groups, opt_state_temp
             nu = np.zeros_like(np.asarray(leaf))
         flat.append((jnp.asarray(mu), jnp.asarray(nu)))
 
-    # Two passes over flat: rebuild mu then nu.
+    # Two passes over flat: rebuild mu then nu. The moment trees must mirror
+    # the FULL params structure (including keys absent from ``groups`` and
+    # None-valued keys), or optax's tree_map over (params, mu, nu) fails.
+    kind_by_key = {key: kind for kind, key in groups}
+
     def rebuild_moment(which):
         it = iter(flat)
-        out = {}
-        for kind, key in groups:
+        by_key = {}
+        for kind, key in groups:  # consume flat in _iter_group_leaves order
             sub = params[key]
             if sub is None:
-                out[key] = None
+                by_key[key] = None
                 continue
             new_sub = jax.tree.map(lambda x: x, sub)
             for _, path in model_layout(kind, sub):
@@ -232,19 +236,32 @@ def torch_dict_to_adam(torch_opt: Dict[str, Any], params, groups, opt_state_temp
                         "b": mu_b if which == "mu" else nu_b,
                     },
                 )
-            out[key] = new_sub
+            by_key[key] = new_sub
+        out = {}
+        for key in params:
+            if key in by_key:
+                out[key] = by_key[key]
+            else:
+                sub = params[key]
+                out[key] = None if sub is None else jax.tree.map(jnp.zeros_like, sub)
         return out
 
     mu_tree = rebuild_moment("mu")
     nu_tree = rebuild_moment("nu")
-    count = jnp.asarray(step, jnp.int32)
+
+    # Fresh count array per chain state — sharing one buffer across states
+    # breaks donation ("attempt to donate the same buffer twice").
+    def fresh_count():
+        return jnp.array(step, jnp.int32)
 
     new_states = []
     for s in opt_state_template:
         if isinstance(s, optax.ScaleByAdamState):
-            new_states.append(optax.ScaleByAdamState(count=count, mu=mu_tree, nu=nu_tree))
+            new_states.append(
+                optax.ScaleByAdamState(count=fresh_count(), mu=mu_tree, nu=nu_tree)
+            )
         elif hasattr(s, "count"):
-            new_states.append(type(s)(count=count))
+            new_states.append(type(s)(count=fresh_count()))
         else:
             new_states.append(s)
     return tuple(new_states), step

@@ -24,11 +24,6 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# Persistent compilation cache: the suite compiles many small programs; this
-# makes re-runs near-instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/swnerf_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
