@@ -206,11 +206,20 @@ class ImageSampler:
     coordinates (seeded numpy choice without replacement); ray generation for
     just those pixels runs on device (ops.rays.get_rays_at)."""
 
-    def __init__(self, scene: Scene, n_rand: int, precrop_iters: int, precrop_frac: float, seed: int = 0):
+    def __init__(
+        self,
+        scene: Scene,
+        n_rand: int,
+        precrop_iters: int,
+        precrop_frac: float,
+        seed: int = 0,
+        precrop_iters_time: int = 0,
+    ):
         self.scene = scene
         self.n_rand = n_rand
         self.precrop_iters = precrop_iters
         self.precrop_frac = precrop_frac
+        self.precrop_iters_time = precrop_iters_time
         self._rng = np.random.default_rng(seed)
         H, W = scene.H, scene.W
         dH = int(H // 2 * precrop_frac)
@@ -223,7 +232,15 @@ class ImageSampler:
         self._full_coords = np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)
 
     def next(self, step: int) -> Tuple[int, np.ndarray]:
-        img_i = int(self._rng.choice(self.scene.i_train))
+        i_train = self.scene.i_train
+        if step >= self.precrop_iters_time:
+            img_i = int(self._rng.choice(i_train))
+        else:
+            # Time curriculum: expand the reachable frame range linearly
+            # (reference run_dnerf.py:650-655).
+            skip_factor = step / float(self.precrop_iters_time) * len(i_train)
+            max_sample = max(int(skip_factor), 3)
+            img_i = int(self._rng.choice(i_train[:max_sample]))
         coords = self._crop_coords if step < self.precrop_iters else self._full_coords
         sel = self._rng.choice(coords.shape[0], size=self.n_rand, replace=False)
         return img_i, coords[sel]

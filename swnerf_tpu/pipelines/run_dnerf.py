@@ -1,0 +1,334 @@
+"""D-NeRF trainer CLI (deformation-field dynamic NeRF).
+
+Usage parity with the reference (`python d_nerf/run_dnerf.py --config
+configs/bouncingballs.txt`): dnerf flag set (utils.py:101-237), dynamic
+blender loader with per-frame times, time curriculum
+(run_dnerf.py:650-655), the TV temporal-smoothness loss that re-renders the
+same rays at a random interpolated neighbor time with frozen z_vals and
+penalizes squared deformation differences (run_dnerf.py:690-725), shared- or
+two-model hierarchical rendering (run_dnerf.py:441-453), dnerf checkpoint
+schema (run_dnerf.py:757-769), frames_*_spiral_*_time/ video dumps, and the
+live render_only path (fixed pose, 120-step time sweep -> time_only/;
+the post-return block at run_dnerf.py:583-593 is dead code and not ported).
+
+Notes vs the reference (recorded deltas):
+  * reference TV loss with use_two_models_for_fine would KeyError
+    (extras_prev never contains position_delta_0, run_dnerf.py:719-724);
+    we apply the TV term to the final pass deformation only.
+  * ``--do_half_precision`` maps to bf16 matmul inputs (TPU native mixed
+    precision) instead of apex AMP.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from swnerf_tpu.models import DNeRFConfig, make_dnerf_field, make_nerf_original_field
+from swnerf_tpu.ops.rays import get_rays_at
+from swnerf_tpu.pipelines.common import (
+    ImageSampler,
+    load_scene,
+    render_path,
+)
+from swnerf_tpu.render.core import RenderConfig, Rays, build_rays, render_rays
+from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
+from swnerf_tpu.train.checkpoint import (
+    adam_to_torch_dict,
+    find_checkpoints,
+    load_tar,
+    params_to_state_dict,
+    save_tar,
+    state_dict_to_params,
+    torch_dict_to_adam,
+)
+from swnerf_tpu.train.loop import TrainState, exp_decay_schedule, init_train_state
+from swnerf_tpu.utils.config import config_parser_dnerf
+from swnerf_tpu.utils.logging import ExperimentLogger, snapshot_args
+from swnerf_tpu.utils.media import write_video
+
+
+def create_dnerf(args):
+    """Field + params + render config (reference create_nerf,
+    run_dnerf.py:238-351), with .tar auto-resume."""
+    mcfg = DNeRFConfig(
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        skips=(4,),
+        multires=args.multires,
+        multires_views=args.multires_views,
+        i_embed=args.i_embed,
+        use_viewdirs=args.use_viewdirs,
+        output_ch=5 if args.N_importance > 0 else 4,
+        zero_canonical=not args.not_zero_canonical,
+    )
+    kind = args.nerf_type
+    if kind == "original":
+        field = make_nerf_original_field(mcfg)
+    elif kind == "direct_temporal":
+        field = make_dnerf_field(mcfg)
+    else:
+        raise ValueError(f"nerf_type {kind!r} not recognized")
+
+    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
+    k1, k2 = jax.random.split(key)
+    params = {"coarse": field.init(k1), "fine": None}
+    if args.use_two_models_for_fine:
+        fcfg = DNeRFConfig(
+            netdepth=args.netdepth_fine,
+            netwidth=args.netwidth_fine,
+            skips=(4,),
+            multires=args.multires,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+            use_viewdirs=args.use_viewdirs,
+            output_ch=5 if args.N_importance > 0 else 4,
+            zero_canonical=not args.not_zero_canonical,
+        )
+        ffield = make_dnerf_field(fcfg) if kind == "direct_temporal" else make_nerf_original_field(fcfg)
+        params["fine"] = ffield.init(k2)
+
+    if args.do_half_precision:
+        from swnerf_tpu.models import common as mcommon
+
+        mcommon.set_matmul_precision(jax.lax.Precision.DEFAULT)
+
+    rcfg = RenderConfig(
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb,
+        lindisp=args.lindisp,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        use_viewdirs=args.use_viewdirs,
+        # shared-model fine: coarse pass only guides sampling, under
+        # stop_gradient (run_dnerf.py:445-448); two-model: coarse trains.
+        coarse_contributes=args.use_two_models_for_fine,
+    )
+
+    optimizer = make_optimizer(args.lrate, args.lrate_decay)
+    state = init_train_state(params, optimizer)
+
+    start = 0
+    ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload:
+        print("Reloading from", ckpts[-1])
+        ckpt = load_tar(ckpts[-1])
+        start = int(ckpt["global_step"])
+        params["coarse"] = state_dict_to_params(kind, ckpt["network_fn_state_dict"], params["coarse"])
+        groups = [(kind, "coarse")]
+        if params["fine"] is not None and ckpt.get("network_fine_state_dict"):
+            params["fine"] = state_dict_to_params(kind, ckpt["network_fine_state_dict"], params["fine"])
+            groups.append((kind, "fine"))
+        opt_state, _ = torch_dict_to_adam(ckpt["optimizer_state_dict"], params, groups, state.opt_state)
+        state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
+
+    return field, kind, rcfg, optimizer, state, start
+
+
+def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
+    """.tar with the dnerf schema (run_dnerf.py:757-769)."""
+    path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
+    groups = [(kind, "coarse")]
+    payload = {
+        "global_step": i,
+        "network_fn_state_dict": params_to_state_dict(kind, state.params["coarse"]),
+    }
+    if state.params["fine"] is not None:
+        payload["network_fine_state_dict"] = params_to_state_dict(kind, state.params["fine"])
+        groups.append((kind, "fine"))
+    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+    payload["optimizer_state_dict"] = adam_to_torch_dict(state.opt_state, state.params, groups, lr)
+    save_tar(path, payload)
+    print("Saved checkpoints at", path)
+
+
+def make_dnerf_step(field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float):
+    """Jitted step consuming (images, poses, times, img_i, pixels,
+    neighbor_time, rng). The TV branch re-renders the same rays at
+    ``neighbor_time`` with the first render's (stopped) z_vals and penalizes
+    sum((dx - dx_neighbor)^2) * weight."""
+    K, H, W = scene.K, scene.H, scene.W
+
+    def loss_fn(params, rays: Rays, target, neighbor_time, rng):
+        out = render_rays(field, params["coarse"], rays, cfg, rng=rng, fine_params=params.get("fine"))
+        img_loss = mse(out["rgb"], target)
+        loss = img_loss
+        metrics = {"loss": img_loss, "psnr": mse_to_psnr(img_loss)}
+        if add_tv_loss:
+            z_vals = jax.lax.stop_gradient(out["z_vals"])
+            n = rays.origins.shape[0]
+            rays_n = rays._replace(times=jnp.full((n, 1), neighbor_time, jnp.float32))
+            out_n = render_rays(
+                field, params["coarse"], rays_n, cfg, rng=rng,
+                fine_params=params.get("fine"), z_vals=z_vals,
+            )
+            tv = jnp.sum((out["aux"]["dx"] - out_n["aux"]["dx"]) ** 2) * tv_loss_weight
+            loss = loss + tv
+            metrics["tv"] = tv
+        if "rgb0" in out:
+            img_loss0 = mse(out["rgb0"], target)
+            loss = loss + img_loss0
+            metrics["psnr0"] = mse_to_psnr(img_loss0)
+        metrics["total_loss"] = loss
+        return loss, metrics
+
+    def step(state: TrainState, images, poses, times, img_i, pixels, neighbor_time, rng):
+        c2w = poses[img_i][:3, :4]
+        rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
+        target = images[img_i][pixels[:, 0], pixels[:, 1]]
+        t = jnp.full((pixels.shape[0], 1), times[img_i], jnp.float32)
+        rays = build_rays(
+            rays_o, rays_d, scene.near, scene.far,
+            use_viewdirs=cfg.use_viewdirs, ndc=False, times=t,
+        )
+        step_rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, rays, target, neighbor_time, step_rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, new_params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def pick_neighbor_time(rng: np.random.Generator, times: np.ndarray, img_i: int) -> float:
+    """Random prev/next neighbor, random interpolation toward it
+    (run_dnerf.py:690-709)."""
+    t = float(times[img_i])
+    t_prev = float(times[img_i - 1]) if img_i > 0 else None
+    t_next = float(times[img_i + 1]) if img_i < len(times) - 1 else None
+    if t_prev is not None and t_next is not None:
+        if rng.random() > 0.5:
+            t_prev = None
+        else:
+            t_next = None
+    if t_prev is not None:
+        return t_prev + (t - t_prev) * float(rng.random())
+    return t + (t_next - t) * float(rng.random())
+
+
+def train(argv=None):
+    args = config_parser_dnerf().parse_args(argv)
+    if args.dataset_type != "blender":
+        raise ValueError(f"Unknown dataset type {args.dataset_type!r} (dnerf supports blender)")
+
+    args.dataset_type = "blender_dnerf"
+    scene = load_scene(args)
+    args.dataset_type = "blender"
+
+    assert float(scene.times[scene.i_train[0]]) == 0.0, "time must start at 0"
+    assert float(scene.times[scene.i_train[-1]]) == 1.0, "max time must be 1"
+
+    os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
+    snapshot_args(args.basedir, args.expname, args, args.config)
+
+    field, kind, rcfg, optimizer, state, start = create_dnerf(args)
+
+    if args.render_only:
+        # Live path (run_dnerf.py:553-566): first render pose swept over 120
+        # uniformly spaced times.
+        print("RENDER ONLY")
+        savedir = os.path.join(args.basedir, args.expname, "time_only")
+        poses = np.broadcast_to(scene.render_poses[0], (120, 4, 4))
+        times = np.linspace(0.0, 1.0, 120).astype(np.float32)
+        rgbs, disps = render_path(
+            field, state.params["coarse"], state.params["fine"], poses, scene, rcfg,
+            chunk=args.chunk, savedir=savedir, render_factor=args.render_factor, times=times,
+        )
+        base = os.path.join(args.basedir, args.expname, "time_")
+        write_video(base + "rgb.mp4", rgbs)
+        write_video(base + "disp.mp4", disps / np.max(disps))
+        return
+
+    if not args.no_batching:
+        # use_batching is NotImplementedError in the reference
+        # (run_dnerf.py:633-634); per-image sampling is the only live mode.
+        pass
+
+    logger = ExperimentLogger(args.basedir, args.expname)
+    sampler = ImageSampler(
+        scene, args.N_rand, args.precrop_iters, args.precrop_frac,
+        precrop_iters_time=args.precrop_iters_time,
+    )
+    step_fn = make_dnerf_step(field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight)
+
+    images_dev = jnp.asarray(scene.images)
+    poses_dev = jnp.asarray(scene.poses)
+    times_dev = jnp.asarray(scene.times)
+    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+    host_rng = np.random.default_rng(0)
+
+    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
+    samples_per_step = args.N_rand * (
+        rcfg.n_samples + (rcfg.n_samples + rcfg.n_importance if rcfg.n_importance else 0)
+    )
+
+    print("Begin")
+    for i in range(start + 1, n_iters):
+        img_i, pixels = sampler.next(i)
+        neighbor_time = (
+            pick_neighbor_time(host_rng, scene.times, img_i) if args.add_tv_loss else 0.0
+        )
+        state, metrics = step_fn(
+            state, images_dev, poses_dev, times_dev, img_i,
+            jnp.asarray(pixels), jnp.float32(neighbor_time), base_rng,
+        )
+
+        if i % args.i_weights == 0:
+            save_dnerf_ckpt(args, kind, state, i)
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.scalars(i, m)
+            tp = logger.throughput(i, samples_per_step, jax.device_count())
+            txt = f"[TRAIN] Iter: {i} Loss_fine: {m['loss']:.6f} PSNR: {m['psnr']:.3f}"
+            if "tv" in m:
+                txt += f" TV: {m['tv']:.6f}"
+            print(txt)
+
+        if i % args.i_img == 0 and i > 0 and len(scene.i_val):
+            img_i = int(np.random.default_rng(i).choice(scene.i_val))
+            rgbs, disps = render_path(
+                field, state.params["coarse"], state.params["fine"],
+                scene.poses[img_i : img_i + 1], scene, rcfg, args.chunk,
+                times=scene.times[img_i : img_i + 1],
+            )
+            logger.image(i, "gt", scene.images[img_i])
+            logger.image(i, "rgb", rgbs[0])
+            logger.image(i, "disp", disps[0] / max(disps.max(), 1e-8))
+
+        if i % args.i_video == 0 and i > 0:
+            savedir = os.path.join(
+                args.basedir, args.expname, f"frames_{args.expname}_spiral_{i:06d}_time"
+            )
+            rgbs, disps = render_path(
+                field, state.params["coarse"], state.params["fine"],
+                scene.render_poses, scene, rcfg, args.chunk,
+                savedir=savedir, times=scene.render_times,
+            )
+            base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
+            write_video(base + "rgb.mp4", rgbs)
+            write_video(base + "disp.mp4", disps / np.max(disps))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
+            testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
+            render_path(
+                field, state.params["coarse"], state.params["fine"],
+                scene.poses[scene.i_test], scene, rcfg, args.chunk,
+                savedir=testsavedir, times=scene.times[scene.i_test],
+                save_also_gt=scene.images[scene.i_test],
+            )
+            print("Saved test set")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,180 @@
+"""T-NeRF trainer CLI (single time-conditioned field, no fine pass).
+
+Usage parity with the reference (`python t_nerf/run_tnerf.py --config
+configs/<scene>.txt`): dnerf flag set, dynamic blender loader,
+N_importance forced to 0 (reference run_tnerf.py:329 sets it in
+render_kwargs regardless of the flag), single-network checkpoint schema
+(run_tnerf.py:719-728). The training loop is the dnerf skeleton without the
+deformation/TV machinery — here it is literally the same step factory with a
+TNeRF field, demonstrating the single-render-core design.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models import TNeRFConfig, make_tnerf_field
+from swnerf_tpu.pipelines.common import ImageSampler, load_scene, render_path
+from swnerf_tpu.pipelines.run_dnerf import make_dnerf_step
+from swnerf_tpu.render.core import RenderConfig
+from swnerf_tpu.train import make_optimizer
+from swnerf_tpu.train.checkpoint import (
+    adam_to_torch_dict,
+    find_checkpoints,
+    load_tar,
+    params_to_state_dict,
+    save_tar,
+    state_dict_to_params,
+    torch_dict_to_adam,
+)
+from swnerf_tpu.train.loop import TrainState, exp_decay_schedule, init_train_state
+from swnerf_tpu.utils.config import config_parser_dnerf
+from swnerf_tpu.utils.logging import ExperimentLogger, snapshot_args
+from swnerf_tpu.utils.media import write_video
+
+
+def create_tnerf(args):
+    """TNeRF(depth=netdepth, net_dim=128, skip_layer=4) as wired by the
+    reference (run_tnerf.py:264-280), with .tar auto-resume."""
+    mcfg = TNeRFConfig(
+        netdepth=args.netdepth,
+        net_dim=128,
+        skip_layer=4,
+        multires=args.multires,
+        multires_views=args.multires_views,
+        i_embed=args.i_embed,
+    )
+    field = make_tnerf_field(mcfg)
+    params = {"coarse": field.init(jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))), "fine": None}
+
+    rcfg = RenderConfig(
+        n_samples=args.N_samples,
+        n_importance=0,  # forced: single model (run_tnerf.py:329)
+        perturb=args.perturb,
+        lindisp=args.lindisp,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        use_viewdirs=True,  # TNeRF always consumes view dirs (model.py:204)
+    )
+
+    optimizer = make_optimizer(args.lrate, args.lrate_decay)
+    state = init_train_state(params, optimizer)
+
+    start = 0
+    ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload:
+        print("Reloading from", ckpts[-1])
+        ckpt = load_tar(ckpts[-1])
+        start = int(ckpt["global_step"])
+        params["coarse"] = state_dict_to_params("tnerf", ckpt["network_fn_state_dict"], params["coarse"])
+        opt_state, _ = torch_dict_to_adam(
+            ckpt["optimizer_state_dict"], params, [("tnerf", "coarse")], state.opt_state
+        )
+        state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
+    return field, rcfg, optimizer, state, start
+
+
+def save_tnerf_ckpt(args, state: TrainState, i: int):
+    """.tar with the tnerf schema (run_tnerf.py:719-728)."""
+    path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
+    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+    save_tar(
+        path,
+        {
+            "global_step": i,
+            "network_fn_state_dict": params_to_state_dict("tnerf", state.params["coarse"]),
+            "optimizer_state_dict": adam_to_torch_dict(
+                state.opt_state, state.params, [("tnerf", "coarse")], lr
+            ),
+        },
+    )
+    print("Saved checkpoints at", path)
+
+
+def train(argv=None):
+    args = config_parser_dnerf().parse_args(argv)
+    if args.dataset_type != "blender":
+        raise ValueError(f"Unknown dataset type {args.dataset_type!r} (tnerf supports blender)")
+
+    args.dataset_type = "blender_dnerf"
+    scene = load_scene(args)
+    args.dataset_type = "blender"
+
+    os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
+    snapshot_args(args.basedir, args.expname, args, args.config)
+
+    field, rcfg, optimizer, state, start = create_tnerf(args)
+
+    if args.render_only:
+        print("RENDER ONLY")
+        suffix = "test" if args.render_test else "path"
+        savedir = os.path.join(args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}")
+        rgbs, disps = render_path(
+            field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
+            chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
+            times=scene.render_times,
+        )
+        write_video(os.path.join(savedir, "video.mp4"), rgbs)
+        return
+
+    logger = ExperimentLogger(args.basedir, args.expname)
+    sampler = ImageSampler(
+        scene, args.N_rand, args.precrop_iters, args.precrop_frac,
+        precrop_iters_time=args.precrop_iters_time,
+    )
+    step_fn = make_dnerf_step(field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0)
+
+    images_dev = jnp.asarray(scene.images)
+    poses_dev = jnp.asarray(scene.poses)
+    times_dev = jnp.asarray(scene.times)
+    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+
+    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
+    samples_per_step = args.N_rand * rcfg.n_samples
+
+    print("Begin")
+    for i in range(start + 1, n_iters):
+        img_i, pixels = sampler.next(i)
+        state, metrics = step_fn(
+            state, images_dev, poses_dev, times_dev, img_i,
+            jnp.asarray(pixels), jnp.float32(0.0), base_rng,
+        )
+
+        if i % args.i_weights == 0:
+            save_tnerf_ckpt(args, state, i)
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.scalars(i, m)
+            logger.throughput(i, samples_per_step, jax.device_count())
+            print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
+
+        if i % args.i_video == 0 and i > 0:
+            savedir = os.path.join(
+                args.basedir, args.expname, f"frames_{args.expname}_spiral_{i:06d}_time"
+            )
+            rgbs, disps = render_path(
+                field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
+                args.chunk, savedir=savedir, times=scene.render_times,
+            )
+            base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
+            write_video(base + "rgb.mp4", rgbs)
+            write_video(base + "disp.mp4", disps / np.max(disps))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
+            testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
+            render_path(
+                field, state.params["coarse"], None, scene.poses[scene.i_test], scene,
+                rcfg, args.chunk, savedir=testsavedir, times=scene.times[scene.i_test],
+            )
+            print("Saved test set")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,124 @@
+"""E2E smoke tests for the D-NeRF and T-NeRF pipelines on a synthetic
+dynamic blender dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_config_data import _write_blender_dataset
+
+
+def _dyn_args(data_root, log_root, extra=()):
+    return [
+        "--expname", "dyn",
+        "--basedir", str(log_root),
+        "--datadir", str(data_root),
+        "--dataset_type", "blender",
+        "--white_bkgd",
+        "--use_viewdirs",
+        "--netdepth", "2", "--netwidth", "16",
+        "--multires", "2", "--multires_views", "1",
+        "--N_rand", "16", "--N_samples", "6",
+        "--chunk", "64",
+        "--testskip", "1",
+        "--i_weights", "8", "--i_print", "4",
+        "--i_video", "100000", "--i_testset", "100000", "--i_img", "100000",
+        "--precrop_iters_time", "3",
+        "--no_batching",
+    ] + list(extra)
+
+
+@pytest.fixture
+def dyn_dataset(tmp_path):
+    data = tmp_path / "data"
+    _write_blender_dataset(str(data), n=5, size=8, dynamic=True)
+    return data
+
+
+class TestDNeRFPipeline:
+    def test_train_tv_ckpt(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal", "--add_tv_loss"]))
+
+        import torch
+
+        ckpt = torch.load(
+            str(logs / "dyn" / "000008.tar"), map_location="cpu", weights_only=False
+        )
+        assert ckpt["global_step"] == 8
+        sd = ckpt["network_fn_state_dict"]
+        assert "_occ.pts_linears.0.weight" in sd and "_time_out.weight" in sd
+        assert "network_fine_state_dict" not in ckpt
+        recs = [
+            json.loads(l)
+            for l in (logs / "dyn" / "metrics.jsonl").read_text().strip().splitlines()
+        ]
+        assert any("tv" in r for r in recs)
+        assert all(np.isfinite(r["total_loss"]) for r in recs if "total_loss" in r)
+
+    def test_two_models_hierarchical(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(
+            _dyn_args(
+                dyn_dataset, logs,
+                ["--nerf_type", "direct_temporal", "--N_importance", "4",
+                 "--use_two_models_for_fine", "--netdepth_fine", "2", "--netwidth_fine", "16"],
+            )
+        )
+        import torch
+
+        ckpt = torch.load(
+            str(logs / "dyn" / "000008.tar"), map_location="cpu", weights_only=False
+        )
+        assert "network_fine_state_dict" in ckpt
+
+    def test_shared_model_fine_resume(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal", "--N_importance", "4"]))
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal", "--N_importance", "4"]))
+
+    def test_render_only_time_sweep(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal"]))
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal", "--render_only", "--render_factor", "2"]))
+        tdir = logs / "dyn" / "time_only"
+        assert tdir.exists()
+        assert len([f for f in os.listdir(tdir) if f.endswith(".png")]) == 120
+        vids = [f for f in os.listdir(logs / "dyn") if f.startswith("time_")]
+        assert vids
+
+
+class TestTNeRFPipeline:
+    def test_train_ckpt_resume(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_tnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs))
+        import torch
+
+        ckpt = torch.load(
+            str(logs / "dyn" / "000008.tar"), map_location="cpu", weights_only=False
+        )
+        sd = ckpt["network_fn_state_dict"]
+        assert "layers.0.0.weight" in sd and "color.0.bias" in sd
+        assert "network_fine_state_dict" not in ckpt
+        # resume
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_dyn_args(dyn_dataset, logs))
