@@ -44,8 +44,11 @@ class DNeRFConfig:
     netdepth: int = 8
     netwidth: int = 256
     skips: Tuple[int, ...] = (4,)
-    multires: int = 10  # xyz AND time freqs (reference run_dnerf.py:252-253)
+    multires: int = 10  # xyz freqs; also time freqs unless multires_time set
     multires_views: int = 4
+    # Separate time freqs for the MultiRes per-level channel lists
+    # (multires_dnerf.py:665-668); None -> same as multires (run_dnerf.py:253).
+    multires_time: Optional[int] = None
     i_embed: int = 0
     use_viewdirs: bool = True
     output_ch: int = 4
@@ -61,7 +64,9 @@ class DNeRFConfig:
 
     @property
     def nf_time(self) -> int:
-        return self.multires if self.i_embed == 0 else -1
+        if self.i_embed != 0:
+            return -1
+        return self.multires if self.multires_time is None else self.multires_time
 
     @property
     def input_ch(self) -> int:

@@ -1,0 +1,432 @@
+"""MultiRes D-NeRF trainer CLI: one field per Laplacian-pyramid level,
+two-phase optimization.
+
+Capability parity with the reference
+(/root/reference/multires_dnerf/multires_dnerf.py:586-1122):
+
+* ``layer_num`` levels, per-level embedding freqs
+  ``channel_list = [(20,8,20), (10,4,10), (10,4,10), (-1,-1,-1)]``
+  (pos, time, view; -1 = identity) (:665-668) and per-level cameras
+  ``H/2^l, focal/2^l`` (:629-638);
+* **Phase 1** — per-level private pretrain, coarsest -> finest,
+  ``global_optimization_epoch`` iterations each (:761-904);
+* **Phase 2** — joint patch training: aligned patch coords across levels
+  (base 32 px halved per level :726-733; coords drawn center-biased on the
+  coarsest level then doubled upward, initialize_patches :562-585 /
+  get_random_patch_coords :500-561), per-level MSE against the level's
+  Laplacian band plus a pyramid-reconstructed global MSE against the
+  full-res patch (added after ``global_optimization_epoch`` :995-996), ONE
+  backward through the summed loss, then every level's Adam steps
+  (:1005-1008);
+* per-layer checkpoint keys ``network_fn_{l}/network_fine_{l}/optimizer_{l}``
+  (:1010-1024), pyramid-reconstructed videos and testsets (:1027-1068).
+
+Deltas from the reference (deliberate, recorded):
+* Phase 1 in the reference samples pixel colors from the FULL-RES image
+  with level-resolution coordinates (:778-802: ``target = images[img_i]``
+  indexed by coords bounded by H_l, W_l) — i.e. a top-left crop at wrong
+  pixel positions for every level but 0. We train level l against the
+  gaussian-pyramid image at level l (the aligned, intended target).
+* In JAX, "one backward through the summed loss then step all optimizers"
+  is a single ``jax.grad`` over the tuple of per-level param trees followed
+  by per-level optax updates — all inside one jitted step.
+* The reference's i_video frame dump tuple-bug (:1044) and its broken
+  i_img reconstruction block (:1068+) are fixed (sane full-frame pyramid
+  logging).
+* ``test.py`` (abandoned variant with ``assert 0==1`` dead code) is not
+  ported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from swnerf_tpu.models import DNeRFConfig, make_dnerf_field, make_nerf_original_field
+from swnerf_tpu.ops.pyramid import (
+    generate_gaussian_pyramid,
+    generate_laplacian_pyramid,
+    reconstruct_from_pyramid,
+)
+from swnerf_tpu.ops.rays import get_rays_at
+from swnerf_tpu.pipelines.common import ImageSampler, load_scene, render_path
+from swnerf_tpu.pipelines.run_dnerf import make_dnerf_step, pick_neighbor_time
+from swnerf_tpu.render.core import RenderConfig, build_rays, render_rays
+from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
+from swnerf_tpu.train.checkpoint import (
+    adam_to_torch_dict,
+    find_checkpoints,
+    load_tar,
+    params_to_state_dict,
+    save_tar,
+    state_dict_to_params,
+    torch_dict_to_adam,
+)
+from swnerf_tpu.train.loop import exp_decay_schedule
+from swnerf_tpu.utils.config import config_parser_dnerf
+from swnerf_tpu.utils.logging import ExperimentLogger, snapshot_args
+from swnerf_tpu.utils.media import write_png, write_video
+
+# (pos, time, view) embedding freqs per level; -1 = identity
+# (multires_dnerf.py:665-668).
+CHANNEL_LIST = [(20, 8, 20), (10, 4, 10), (10, 4, 10), (-1, -1, -1)]
+BASE_PATCH_SIZE = 32  # highest-resolution patch edge (multires_dnerf.py:726)
+CENTER_ONLY_ITERS = 4000  # get_random_patch_coords n (multires_dnerf.py:500)
+
+
+def get_random_patch_coords(
+    rng: np.random.Generator, H: int, W: int, patch_size: int, current_iter: int,
+    n: int = CENTER_ONLY_ITERS, sigma_factor: float = 4.0,
+) -> Tuple[int, int]:
+    """Center-biased patch corner sampling (multires_dnerf.py:500-561)."""
+    if H <= patch_size or W <= patch_size:
+        return 0, 0
+    center_y = (H - patch_size) / 2.0
+    center_x = (W - patch_size) / 2.0
+    if current_iter < n:
+        min_y = max(0, int(center_y - H / 8.0))
+        max_y = min(int(center_y + H / 8.0), H - patch_size)
+        min_x = max(0, int(center_x - W / 8.0))
+        max_x = min(int(center_x + W / 8.0), W - patch_size)
+        y = int(rng.integers(min_y, max_y + 1))
+        x = int(rng.integers(min_x, max_x + 1))
+    else:
+        y = int(rng.normal(center_y, H / sigma_factor))
+        x = int(rng.normal(center_x, W / sigma_factor))
+        y = max(0, min(y, H - patch_size))
+        x = max(0, min(x, W - patch_size))
+    return y, x
+
+
+def initialize_patches(
+    rng: np.random.Generator, pyr_hwf: List[List[float]], cur_iter: int,
+    base_patch_size: int = BASE_PATCH_SIZE,
+) -> List[Tuple[int, int]]:
+    """Aligned per-level patch corners: drawn on the coarsest level, doubled
+    per finer level (multires_dnerf.py:562-585 — note the reference draws
+    with the FULL base patch size on the coarsest level)."""
+    coords: List[Tuple[int, int]] = []
+    for layer, (H, W, _) in enumerate(pyr_hwf[::-1]):
+        if layer == 0:
+            coords.append(get_random_patch_coords(rng, int(H), int(W), base_patch_size, cur_iter))
+        else:
+            py, px = coords[layer - 1]
+            coords.append((py * 2, px * 2))
+    return coords[::-1]
+
+
+def _level_cfg(args, channels) -> DNeRFConfig:
+    pos, tim, view = channels
+    return DNeRFConfig(
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        skips=(4,),
+        multires=pos,
+        multires_views=view,
+        multires_time=tim,
+        i_embed=0 if pos != -1 else -1,
+        use_viewdirs=args.use_viewdirs,
+        output_ch=5 if args.N_importance > 0 else 4,
+        zero_canonical=not args.not_zero_canonical,
+    )
+
+
+def create_multires(args, scene):
+    """Per-level fields/params/optimizers + per-level cameras, with
+    per-layer-key .tar auto-resume (multires_dnerf.py:242-346,629-668)."""
+    kind = args.nerf_type
+    make = make_dnerf_field if kind == "direct_temporal" else make_nerf_original_field
+
+    fields, params_all, opts, opt_states, pyr_hwf = [], [], [], [], []
+    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
+    for layer in range(args.layer_num):
+        cfg = _level_cfg(args, CHANNEL_LIST[layer % len(CHANNEL_LIST)])
+        field = make(cfg)
+        key, k1, k2 = jax.random.split(key, 3)
+        p = {"coarse": field.init(k1), "fine": None}
+        if args.use_two_models_for_fine:
+            p["fine"] = field.init(k2)
+        opt = make_optimizer(args.lrate, args.lrate_decay)
+        fields.append(field)
+        params_all.append(p)
+        opts.append(opt)
+        opt_states.append(opt.init(p))
+        scale = 2**layer
+        pyr_hwf.append([scene.H // scale, scene.W // scale, scene.focal / scale])
+
+    start = 0
+    ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload:
+        print("Reloading from", ckpts[-1])
+        ckpt = load_tar(ckpts[-1])
+        start = int(ckpt["global_step"])
+        for layer in range(args.layer_num):
+            params_all[layer]["coarse"] = state_dict_to_params(
+                kind, ckpt[f"network_fn_{layer}"], params_all[layer]["coarse"]
+            )
+            groups = [(kind, "coarse")]
+            if params_all[layer]["fine"] is not None and ckpt.get(f"network_fine_{layer}"):
+                params_all[layer]["fine"] = state_dict_to_params(
+                    kind, ckpt[f"network_fine_{layer}"], params_all[layer]["fine"]
+                )
+                groups.append((kind, "fine"))
+            opt_states[layer], _ = torch_dict_to_adam(
+                ckpt[f"optimizer_{layer}"], params_all[layer], groups, opt_states[layer]
+            )
+
+    rcfg = RenderConfig(
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb,
+        lindisp=args.lindisp,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        use_viewdirs=args.use_viewdirs,
+        coarse_contributes=args.use_two_models_for_fine,
+    )
+    return kind, fields, params_all, opts, opt_states, pyr_hwf, rcfg, start
+
+
+def save_multires_ckpt(args, kind, params_all, opt_states, i):
+    """.tar with per-layer keys (multires_dnerf.py:1010-1024)."""
+    path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
+    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+    payload = {"global_step": i}
+    for layer, (p, st) in enumerate(zip(params_all, opt_states)):
+        payload[f"network_fn_{layer}"] = params_to_state_dict(kind, p["coarse"])
+        groups = [(kind, "coarse")]
+        if p["fine"] is not None:
+            payload[f"network_fine_{layer}"] = params_to_state_dict(kind, p["fine"])
+            groups.append((kind, "fine"))
+        payload[f"optimizer_{layer}"] = adam_to_torch_dict(st, p, groups, lr)
+    save_tar(path, payload)
+    print("Saved checkpoints at", path)
+
+
+def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far):
+    """One jitted joint step: render every level's patch, per-level MSE vs
+    its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
+    patch, a single grad over ALL level params, per-level Adam updates."""
+    L = len(fields)
+
+    def loss_fn(params_all, pixels_all, targets_all, target_full, poses_all, t, gw, rng):
+        total = 0.0
+        metrics = {}
+        outs = []
+        for l in range(L):
+            H_l, W_l, focal_l = pyr_hwf[l]
+            ps = patch_sizes[l]
+            rays_o, rays_d = get_rays_at(pixels_all[l], int(H_l), int(W_l), float(focal_l), poses_all)
+            times = jnp.full((ps * ps, 1), t, jnp.float32)
+            rays = build_rays(rays_o, rays_d, near, far, use_viewdirs=rcfg.use_viewdirs, times=times)
+            out = render_rays(
+                fields[l], params_all[l]["coarse"], rays, rcfg, rng=rng,
+                fine_params=params_all[l]["fine"],
+            )
+            rgb = out["rgb"].reshape(ps, ps, 3)
+            img_loss = mse(rgb, targets_all[l])
+            total = total + img_loss
+            metrics[f"loss_layer_{l}"] = img_loss
+            metrics[f"psnr_layer_{l}"] = mse_to_psnr(img_loss)
+            if "rgb0" in out:
+                l0 = mse(out["rgb0"].reshape(ps, ps, 3), targets_all[l])
+                total = total + l0
+                metrics[f"loss0_layer_{l}"] = l0
+            outs.append(rgb[None])
+        recon = reconstruct_from_pyramid(outs)[0]
+        global_loss = mse(recon, target_full)
+        total = total + gw * global_loss
+        metrics["global_loss"] = global_loss
+        metrics["global_psnr"] = mse_to_psnr(global_loss)
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def step(params_all, opt_states, pixels_all, targets_all, target_full, pose, t, gw, rng):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params_all, pixels_all, targets_all, target_full, pose, t, gw, rng
+        )
+        new_params, new_states = [], []
+        for l in range(L):
+            updates, st = opts[l].update(grads[l], opt_states[l], params_all[l])
+            new_params.append(optax.apply_updates(params_all[l], updates))
+            new_states.append(st)
+        return new_params, new_states, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def train(argv=None):
+    args = config_parser_dnerf().parse_args(argv)
+    if args.dataset_type != "blender":
+        raise ValueError(f"Unknown dataset type {args.dataset_type!r} (multires supports blender)")
+
+    args.dataset_type = "blender_dnerf"
+    scene = load_scene(args)
+    args.dataset_type = "blender"
+
+    os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
+    snapshot_args(args.basedir, args.expname, args, args.config)
+    logger = ExperimentLogger(args.basedir, args.expname)
+    log_txt = os.path.join(args.basedir, args.expname, "log.txt")
+
+    kind, fields, params_all, opts, opt_states, pyr_hwf, rcfg, start = create_multires(args, scene)
+    L = args.layer_num
+    patch_sizes = [max(BASE_PATCH_SIZE // (2**l), 1) for l in range(L)]
+
+    images_dev = jnp.asarray(scene.images)
+    lap_bands = [np.asarray(b) for b in generate_laplacian_pyramid(images_dev, levels=L)]
+    gauss_levels = [np.asarray(g) for g in generate_gaussian_pyramid(images_dev, levels=L)]
+
+    # Pyramid preview dump (multires_dnerf.py:738-740).
+    pyr_dir = os.path.join(args.basedir, args.expname, "pyramid_images")
+    for li, band in enumerate(lap_bands):
+        for n in range(min(4, band.shape[0])):
+            write_png(os.path.join(pyr_dir, f"image_{li}_{n}.png"), band[n])
+
+    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+    host_rng = np.random.default_rng(0)
+    times_np = scene.times
+
+    # ---------------- Phase 1: per-level private pretrain ----------------
+    phase1_iters = int(os.environ.get("SWNERF_PHASE1_ITERS", args.global_optimization_epoch))
+    for layer in reversed(range(L)):
+        print(f"=== Phase 1: private pretrain, level {layer} ===")
+        H_l, W_l, focal_l = pyr_hwf[layer]
+        level_scene = dataclasses.replace(
+            scene,
+            images=gauss_levels[layer],
+            H=int(H_l),
+            W=int(W_l),
+            focal=float(focal_l),
+            K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
+        )
+        sampler = ImageSampler(
+            level_scene, args.N_rand, args.precrop_iters, args.precrop_frac,
+            precrop_iters_time=args.precrop_iters_time,
+        )
+        step_fn = make_dnerf_step(
+            fields[layer], rcfg, opts[layer], level_scene, args.add_tv_loss, args.tv_loss_weight
+        )
+        from swnerf_tpu.train.loop import TrainState
+
+        st = TrainState(jnp.zeros((), jnp.int32), params_all[layer], opt_states[layer])
+        imgs_l = jnp.asarray(gauss_levels[layer])
+        poses_dev = jnp.asarray(scene.poses)
+        times_dev = jnp.asarray(times_np)
+        for i in range(phase1_iters):
+            img_i, pixels = sampler.next(i)
+            nt = pick_neighbor_time(host_rng, times_np, img_i) if args.add_tv_loss else 0.0
+            st, metrics = step_fn(
+                st, imgs_l, poses_dev, times_dev, img_i,
+                jnp.asarray(pixels), jnp.float32(nt), base_rng,
+            )
+            if i % args.i_print == 0:
+                m = {f"pretrain_l{layer}_{k}": float(v) for k, v in metrics.items()}
+                logger.scalars(i, m)
+                with open(log_txt, "a") as f:
+                    f.write(
+                        f"[PRETRAIN] Layer {layer} Iter: {i} Loss: "
+                        f"{float(metrics['loss']):.6f} PSNR: {float(metrics['psnr']):.3f}\n"
+                    )
+        params_all[layer], opt_states[layer] = st.params, st.opt_state
+
+    # ---------------- Phase 2: joint patch optimization ----------------
+    step_fn = make_phase2_step(
+        args, fields, opts, rcfg, pyr_hwf, patch_sizes, scene.near, scene.far
+    )
+    lap_dev = [jnp.asarray(b) for b in lap_bands]
+    poses_dev = jnp.asarray(scene.poses[:, :3, :4])
+
+    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
+    print("Begin joint training")
+    for i in range(start + 1, n_iters):
+        coords = initialize_patches(host_rng, pyr_hwf, i)
+        img_i = int(host_rng.choice(scene.i_train))
+        t = float(times_np[img_i])
+
+        pixels_all, targets_all = [], []
+        for l in range(L):
+            y, x = coords[l]
+            ps = patch_sizes[l]
+            ys, xs = np.meshgrid(np.arange(y, y + ps), np.arange(x, x + ps), indexing="ij")
+            pixels_all.append(jnp.asarray(np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)))
+            targets_all.append(lap_dev[l][img_i, y : y + ps, x : x + ps])
+        y0, x0 = coords[0]
+        ps0 = patch_sizes[0]
+        target_full = images_dev[img_i, y0 : y0 + ps0, x0 : x0 + ps0]
+
+        gw = jnp.float32(1.0 if i >= args.global_optimization_epoch else 0.0)
+        params_all, opt_states, metrics = step_fn(
+            params_all, opt_states, pixels_all, targets_all, target_full,
+            poses_dev[img_i], jnp.float32(t), gw, base_rng,
+        )
+
+        if i % args.i_weights == 0:
+            save_multires_ckpt(args, kind, params_all, opt_states, i)
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.scalars(i, m)
+            line = (
+                f"[GLOBAL OPT] Iter: {i} Global Loss: {m['global_loss']:.6f} "
+                f"Global PSNR: {m['global_psnr']:.2f}, Coords: {coords[0]}"
+            )
+            print(line)
+            with open(log_txt, "a") as f:
+                f.write(line + "\n")
+
+        if i % args.i_video == 0 and i > 0:
+            # Fixed-pose time sweep per level, reconstructed to full res
+            # (multires_dnerf.py:1027-1044, with the tuple bug fixed).
+            n = int(os.environ.get("SWNERF_VIDEO_FRAMES", 120))
+            level_frames = []
+            for l in range(L):
+                H_l, W_l, focal_l = pyr_hwf[l]
+                lscene = dataclasses.replace(
+                    scene, H=int(H_l), W=int(W_l), focal=float(focal_l),
+                    K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
+                )
+                rgbs, _ = render_path(
+                    fields[l], params_all[l]["coarse"], params_all[l]["fine"],
+                    np.broadcast_to(scene.render_poses[0], (n, 4, 4)), lscene, rcfg,
+                    args.chunk,
+                    savedir=os.path.join(args.basedir, args.expname, f"frames_layer_{l}_{i:06d}_time"),
+                    times=np.linspace(0, 1, n).astype(np.float32),
+                )
+                level_frames.append(jnp.asarray(rgbs))
+            recon = np.asarray(reconstruct_from_pyramid(level_frames))
+            base = os.path.join(args.basedir, args.expname, f"{args.expname}_reconstructed_{i:06d}_")
+            write_video(base + "rgb.mp4", np.clip(recon, 0, 1))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
+            testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
+            level_frames = []
+            for l in range(L):
+                H_l, W_l, focal_l = pyr_hwf[l]
+                lscene = dataclasses.replace(
+                    scene, H=int(H_l), W=int(W_l), focal=float(focal_l),
+                    K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
+                )
+                rgbs, _ = render_path(
+                    fields[l], params_all[l]["coarse"], params_all[l]["fine"],
+                    scene.poses[scene.i_test], lscene, rcfg, args.chunk,
+                    savedir=os.path.join(testsavedir, f"layer_{l}"),
+                    times=times_np[scene.i_test],
+                )
+                level_frames.append(jnp.asarray(rgbs))
+            recon = np.clip(np.asarray(reconstruct_from_pyramid(level_frames)), 0, 1)
+            for fi in range(recon.shape[0]):
+                write_png(os.path.join(testsavedir, f"recon_{fi:03d}.png"), recon[fi])
+            print("Saved test set reconstructed images")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,126 @@
+"""Pyramid ops tests + MultiRes pipeline e2e smoke test."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from swnerf_tpu.ops.pyramid import (
+    gaussian_blur,
+    gaussian_kernel,
+    generate_gaussian_pyramid,
+    generate_laplacian_pyramid,
+    reconstruct_from_pyramid,
+)
+from tests.test_config_data import _write_blender_dataset
+
+
+class TestPyramid:
+    def test_kernel_normalized(self):
+        k = np.asarray(gaussian_kernel(3, 1.0))
+        assert k.shape == (3, 3)
+        assert k.sum() == pytest.approx(1.0, abs=1e-6)
+        assert k[1, 1] == k.max()
+
+    def test_blur_preserves_mean_and_shape(self, rng_np):
+        x = rng_np.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+        y = np.asarray(gaussian_blur(jnp.asarray(x)))
+        assert y.shape == x.shape
+        # Interior mean preserved (SAME padding distorts only borders).
+        assert y[:, 4:-4, 4:-4].mean() == pytest.approx(x[:, 4:-4, 4:-4].mean(), abs=0.02)
+
+    def test_pyramid_shapes(self, rng_np):
+        x = rng_np.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        bands = generate_laplacian_pyramid(jnp.asarray(x), levels=4)
+        assert [b.shape[1] for b in bands] == [32, 16, 8, 4]
+        gauss = generate_gaussian_pyramid(jnp.asarray(x), levels=4)
+        assert [g.shape[1] for g in gauss] == [32, 16, 8, 4]
+
+    def test_reconstruction_inverts_decomposition(self, rng_np):
+        """Laplacian decompose -> reconstruct is exact (the bands carry the
+        full residual at every level)."""
+        x = rng_np.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        bands = generate_laplacian_pyramid(jnp.asarray(x), levels=4)
+        rec = np.asarray(reconstruct_from_pyramid(bands))
+        np.testing.assert_allclose(rec, x, atol=1e-5)
+
+    def test_band_energy_ordering(self, rng_np):
+        """A smooth image concentrates energy in the low-pass band."""
+        yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32), indexing="ij")
+        smooth = np.stack([yy, xx, yy * xx], -1)[None].astype(np.float32)
+        bands = generate_laplacian_pyramid(jnp.asarray(smooth), levels=3)
+        energies = [float(jnp.mean(b**2)) for b in bands]
+        assert energies[-1] > 10 * energies[0]
+
+
+class TestMultiResPipeline:
+    def test_two_phase_train_and_ckpt(self, tmp_path, monkeypatch):
+        from swnerf_tpu.pipelines.run_multires import train
+
+        data = tmp_path / "data"
+        # 64x64 so 3 levels stay >= 16px and patches fit.
+        _write_blender_dataset(str(data), n=4, size=64, dynamic=True)
+        logs = tmp_path / "logs"
+
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "2")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "5")
+        args = [
+            "--expname", "mr",
+            "--basedir", str(logs),
+            "--datadir", str(data),
+            "--dataset_type", "blender",
+            "--white_bkgd", "--use_viewdirs",
+            "--nerf_type", "direct_temporal",
+            "--netdepth", "2", "--netwidth", "16",
+            "--N_rand", "16", "--N_samples", "4",
+            "--chunk", "4096",
+            "--testskip", "1",
+            "--layer_num", "3",
+            "--global_optimization_epoch", "2",
+            "--i_weights", "4", "--i_print", "2",
+            "--i_video", "100000", "--i_testset", "100000", "--i_img", "100000",
+            "--no_batching",
+        ]
+        train(args)
+
+        import torch
+
+        ckpt = torch.load(str(logs / "mr" / "000004.tar"), map_location="cpu", weights_only=False)
+        assert ckpt["global_step"] == 4
+        for l in range(3):
+            assert f"network_fn_{l}" in ckpt
+            assert f"optimizer_{l}" in ckpt
+            assert "_time_out.weight" in ckpt[f"network_fn_{l}"]
+        # Level embeddings differ: level 0 pos-embed is 20 freqs (2*20*3+3
+        # = 123 in), level 2 is 10 freqs (63 in).
+        w0 = ckpt["network_fn_0"]["_occ.pts_linears.0.weight"]
+        w2 = ckpt["network_fn_2"]["_occ.pts_linears.0.weight"]
+        assert w0.shape[1] == 123 and w2.shape[1] == 63
+
+        # log.txt has both phases.
+        log = (logs / "mr" / "log.txt").read_text()
+        assert "[PRETRAIN]" in log and "[GLOBAL OPT]" in log
+
+        # resume continues from per-layer keys
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "6")
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "0")
+        train(args)
+
+    def test_identity_level_channels(self):
+        """Level 3 of the channel list is the identity embedder: first layer
+        consumes raw (x) 3 dims + time 1 dim."""
+        from swnerf_tpu.pipelines.run_multires import CHANNEL_LIST, _level_cfg
+
+        class A:  # minimal args shim
+            netdepth = 2
+            netwidth = 16
+            use_viewdirs = True
+            N_importance = 0
+            not_zero_canonical = False
+
+        cfg = _level_cfg(A, CHANNEL_LIST[3])
+        assert cfg.input_ch == 3 and cfg.input_ch_time == 1 and cfg.input_ch_views == 3
+        cfg0 = _level_cfg(A, CHANNEL_LIST[0])
+        assert cfg0.input_ch == 123 and cfg0.input_ch_time == 17
