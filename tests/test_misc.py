@@ -1,0 +1,117 @@
+"""Tests: 2D pos-encoding experiment, color utils, metrics, eval_dirs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from swnerf_tpu.utils.color import hsv_to_rgb
+from swnerf_tpu.utils.metrics import psnr, ssim, to8b
+
+
+class TestColor:
+    def test_primaries(self):
+        np.testing.assert_allclose(hsv_to_rgb(0.0, 1.0, 1.0), [1, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(hsv_to_rgb(1 / 3, 1.0, 1.0), [0, 1, 0], atol=1e-9)
+        np.testing.assert_allclose(hsv_to_rgb(2 / 3, 1.0, 1.0), [0, 0, 1], atol=1e-9)
+
+    def test_matches_colorsys(self):
+        import colorsys
+
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            h, s, v = rng.uniform(0, 0.999, 3)
+            want = colorsys.hsv_to_rgb(h, s, v)
+            np.testing.assert_allclose(hsv_to_rgb(h, s, v), want, atol=1e-9)
+
+
+class TestMetrics:
+    def test_psnr_identity(self):
+        g = np.random.default_rng(0).uniform(0, 1, (16, 16, 3))
+        assert psnr(g, g + 0.1, data_range=1.0) == pytest.approx(20.0, abs=0.01)
+
+    def test_ssim_matches_known_values(self):
+        """SSIM(x, x) == 1; uncorrelated noise << 1; monotone in noise."""
+        rng = np.random.default_rng(0)
+        g = rng.uniform(0, 1, (32, 32))
+        assert ssim(g, g, data_range=1.0) == pytest.approx(1.0, abs=1e-9)
+        a = ssim(g, np.clip(g + rng.normal(0, 0.05, g.shape), 0, 1), data_range=1.0)
+        b = ssim(g, np.clip(g + rng.normal(0, 0.3, g.shape), 0, 1), data_range=1.0)
+        assert 0 < b < a < 1
+
+    def test_ssim_multichannel(self):
+        rng = np.random.default_rng(0)
+        g = rng.uniform(0, 1, (24, 24, 3))
+        assert ssim(g, g, data_range=1.0, channel_axis=2) == pytest.approx(1.0)
+
+    def test_to8b(self):
+        x = np.array([-0.5, 0.0, 0.5, 1.0, 2.0])
+        np.testing.assert_array_equal(to8b(x), [0, 0, 127, 255, 255])
+
+
+class TestEvalDirs:
+    def test_metrics_json(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from swnerf_tpu.pipelines.eval_dirs import main
+
+        rng = np.random.default_rng(0)
+        pred_d, gt_d = tmp_path / "pred", tmp_path / "gt"
+        pred_d.mkdir()
+        gt_d.mkdir()
+        for i in range(3):
+            g = rng.uniform(0, 255, (16, 16, 3)).astype(np.uint8)
+            imageio.imwrite(str(gt_d / f"{i:03d}.png"), g)
+            noisy = np.clip(g.astype(int) + rng.integers(-10, 10, g.shape), 0, 255)
+            imageio.imwrite(str(pred_d / f"{i:03d}.png"), noisy.astype(np.uint8))
+        main(["--pred", str(pred_d), "--gt", str(gt_d)])
+        m = json.loads((pred_d / "metrics.json").read_text())
+        assert len(m["frames"]) == 3
+        assert 20 < m["mean"]["psnr"] < 60
+        assert m["mean"]["lpips"] is None  # package not installed
+        assert (pred_d / "metrics.txt").exists()
+
+
+class TestPos2D:
+    def test_encode_layout(self):
+        import jax.numpy as jnp
+
+        from swnerf_tpu.experiments.pos2d import encode
+
+        pos = jnp.asarray([[0.0, 0.0], [4.0, 2.0], [2.0, 1.0]])
+        enc = np.asarray(encode(pos, 2))
+        assert enc.shape == (3, 10)
+        # normalized coords: row 2 -> (0, 0)
+        np.testing.assert_allclose(enc[2, :2], [0, 0], atol=1e-6)
+        # layout per freq: sin(x), sin(y), cos(x), cos(y)
+        x, y = enc[0, 0], enc[0, 1]
+        np.testing.assert_allclose(enc[0, 2], np.sin(np.pi * x), atol=1e-5)
+        np.testing.assert_allclose(enc[0, 3], np.sin(np.pi * y), atol=1e-5)
+        np.testing.assert_allclose(enc[0, 4], np.cos(np.pi * x), atol=1e-5)
+        np.testing.assert_allclose(enc[0, 5], np.cos(np.pi * y), atol=1e-5)
+
+    def test_overfit_tiny_image(self, tmp_path):
+        """A few epochs on a smooth gradient image should reach decent PSNR
+        and write the reconstruction + metrics.csv."""
+        import imageio.v2 as imageio
+
+        from swnerf_tpu.experiments.pos2d import main
+
+        yy, xx = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16), indexing="ij")
+        img = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+        pic = str(tmp_path / "grad.png")
+        imageio.imwrite(pic, (img * 255).astype(np.uint8))
+
+        out = str(tmp_path / "result")
+        ck = str(tmp_path / "ckpt")
+        main([
+            "-pd", pic, "--L", "4", "--layer_num", "2", "--epochs", "120",
+            "-od", out, "-cs", ck,
+        ])
+        assert any(f.endswith(".png") for f in os.listdir(out))
+        assert any(f.endswith(".npz") for f in os.listdir(ck))
+        csv = (tmp_path / "metrics.csv")
+        assert csv.exists()
+        last_psnr = float(csv.read_text().strip().splitlines()[-1].split(",")[-1])
+        assert last_psnr > 10.0
