@@ -1,0 +1,14 @@
+"""Pallas TPU kernels: the native-kernel layer of the framework.
+
+Pallas plays the role CUDA plays in the reference (the bundled
+``torchsearchsorted`` extension, d_nerf/torchsearchsorted/ — SURVEY.md §2.5):
+
+* ``sample_pdf_pallas`` — fused inverse-CDF importance sampling
+  (pdf -> cdf -> right-side search -> gather -> lerp) in one VMEM pass;
+* ``fused_raymarch`` — positional encode + NeRF MLP + alpha-composite for a
+  ray tile with VMEM-resident weights.
+"""
+
+from swnerf_tpu.ops.pallas.sample_pdf import sample_pdf_pallas
+
+__all__ = ["sample_pdf_pallas"]
