@@ -17,6 +17,7 @@ and stay VMEM-resident in the fused kernel. Matmuls accumulate in fp32
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -97,7 +98,24 @@ def apply_vanilla_trunk(params, cfg: VanillaNeRFConfig, pts_emb, views_emb):
     return dense(params["output_linear"], h)
 
 
-def make_vanilla_field(cfg: VanillaNeRFConfig) -> Field:
+def make_vanilla_field(
+    cfg: VanillaNeRFConfig,
+    fused: Optional[bool] = None,
+    fused_interpret: bool = False,
+) -> Field:
+    """``fused=None`` auto-selects the Pallas fused trunk on TPU when the
+    architecture is supported; True/False force it. ``fused_interpret`` runs
+    the kernel in interpreter mode (tests on CPU)."""
+    use_fused = fused
+    if use_fused is None:
+        from swnerf_tpu.ops.pallas.raymarch import supports_config
+
+        use_fused = (
+            supports_config(cfg)
+            and jax.devices()[0].platform == "tpu"
+            and os.environ.get("SWNERF_FUSED", "1") != "0"
+        )
+
     def init(rng: jax.Array):
         return init_vanilla_params(rng, cfg)
 
@@ -108,7 +126,12 @@ def make_vanilla_field(cfg: VanillaNeRFConfig) -> Field:
         if cfg.use_viewdirs:
             vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
             views_emb = positional_encoding(vd, cfg.nf_views)
-        raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)
+        if use_fused:
+            from swnerf_tpu.ops.pallas.raymarch import fused_trunk
+
+            raw = fused_trunk(params, cfg, pts_emb, views_emb, interpret=fused_interpret)
+        else:
+            raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)
         return raw, {}
 
     return Field(init, apply)

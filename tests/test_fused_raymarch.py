@@ -1,0 +1,76 @@
+"""Fused Pallas MLP trunk: forward + gradient parity vs the jnp trunk."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.models.vanilla import apply_vanilla_trunk, init_vanilla_params
+from swnerf_tpu.ops.pallas.raymarch import fused_trunk, supports_config
+
+
+def _setup(multires=10, multires_views=4, D=8):
+    cfg = VanillaNeRFConfig(netdepth=D, netwidth=256, multires=multires, multires_views=multires_views)
+    params = init_vanilla_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+class TestFusedTrunk:
+    def test_supports_flagship(self):
+        cfg, _ = _setup()
+        assert supports_config(cfg)
+        assert not supports_config(VanillaNeRFConfig(netwidth=200))
+        assert not supports_config(VanillaNeRFConfig(use_viewdirs=False))
+
+    @pytest.mark.parametrize("n", [64, 1024, 1500])
+    def test_forward_matches_jnp(self, rng_np, n):
+        cfg, params = _setup()
+        emb = rng_np.standard_normal((n, cfg.input_ch)).astype(np.float32)
+        vemb = rng_np.standard_normal((n, cfg.input_ch_views)).astype(np.float32)
+        want = np.asarray(apply_vanilla_trunk(params, cfg, jnp.asarray(emb), jnp.asarray(vemb)))
+        got = np.asarray(
+            fused_trunk(params, cfg, jnp.asarray(emb), jnp.asarray(vemb), block=512, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+    def test_batched_shapes(self, rng_np):
+        cfg, params = _setup()
+        emb = rng_np.standard_normal((4, 7, cfg.input_ch)).astype(np.float32)
+        vemb = rng_np.standard_normal((4, 7, cfg.input_ch_views)).astype(np.float32)
+        out = fused_trunk(params, cfg, jnp.asarray(emb), jnp.asarray(vemb), block=128, interpret=True)
+        assert out.shape == (4, 7, 4)
+
+    def test_gradients_match_jnp(self, rng_np):
+        cfg, params = _setup(multires=4, multires_views=2, D=4)
+        # small depth keeps the interpret-mode test fast
+        object.__setattr__  # noqa
+        emb = rng_np.standard_normal((96, cfg.input_ch)).astype(np.float32)
+        vemb = rng_np.standard_normal((96, cfg.input_ch_views)).astype(np.float32)
+        tgt = rng_np.standard_normal((96, 4)).astype(np.float32)
+
+        def loss_jnp(p):
+            return jnp.mean((apply_vanilla_trunk(p, cfg, jnp.asarray(emb), jnp.asarray(vemb)) - tgt) ** 2)
+
+        def loss_fused(p):
+            return jnp.mean(
+                (fused_trunk(p, cfg, jnp.asarray(emb), jnp.asarray(vemb), block=128, interpret=True) - tgt) ** 2
+            )
+
+        g1 = jax.grad(loss_jnp)(params)
+        g2 = jax.grad(loss_fused)(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_field_integration(self, rng_np):
+        """make_vanilla_field(fused=True) renders identically to fused=False."""
+        cfg = VanillaNeRFConfig(netdepth=4, netwidth=256, multires=4, multires_views=2)
+        f_ref = make_vanilla_field(cfg)
+        f_fused = make_vanilla_field(cfg, fused=True, fused_interpret=True)
+        params = f_ref.init(jax.random.PRNGKey(1))
+        pts = jnp.asarray(rng_np.uniform(-1, 1, (8, 16, 3)).astype(np.float32))
+        vd = jnp.asarray(rng_np.standard_normal((8, 3)).astype(np.float32))
+        vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+        a, _ = f_ref.apply(params, pts, vd)
+        b, _ = f_fused.apply(params, pts, vd)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-5)
