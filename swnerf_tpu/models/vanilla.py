@@ -98,6 +98,40 @@ def apply_vanilla_trunk(params, cfg: VanillaNeRFConfig, pts_emb, views_emb):
     return dense(params["output_linear"], h)
 
 
+def load_keras_weights(params, cfg: VanillaNeRFConfig, weights):
+    """Import the original TF-NeRF Keras weight list (reference
+    model.py:64-91 load_weights_from_keras): alternating [w, b] arrays for
+    pts layers, then feature, views, rgb, alpha. Keras stores [in, out] —
+    our native layout, so no transposes."""
+    assert cfg.use_viewdirs, "Not implemented if use_viewdirs=False"
+    import numpy as np
+
+    D = cfg.netdepth
+    out = jax.tree.map(lambda x: x, params)
+    for i in range(D):
+        out["pts_linears"][i] = {
+            "w": jnp.asarray(np.asarray(weights[2 * i])),
+            "b": jnp.asarray(np.asarray(weights[2 * i + 1])),
+        }
+    out["feature_linear"] = {
+        "w": jnp.asarray(np.asarray(weights[2 * D])),
+        "b": jnp.asarray(np.asarray(weights[2 * D + 1])),
+    }
+    out["views_linears"][0] = {
+        "w": jnp.asarray(np.asarray(weights[2 * D + 2])),
+        "b": jnp.asarray(np.asarray(weights[2 * D + 3])),
+    }
+    out["rgb_linear"] = {
+        "w": jnp.asarray(np.asarray(weights[2 * D + 4])),
+        "b": jnp.asarray(np.asarray(weights[2 * D + 5])),
+    }
+    out["alpha_linear"] = {
+        "w": jnp.asarray(np.asarray(weights[2 * D + 6])),
+        "b": jnp.asarray(np.asarray(weights[2 * D + 7])),
+    }
+    return out
+
+
 def make_vanilla_field(
     cfg: VanillaNeRFConfig,
     fused: Optional[bool] = None,

@@ -51,15 +51,20 @@ def supports_config(cfg) -> bool:
     )
 
 
-def pack_params(params, cfg) -> Tuple[list, dict]:
+def pack_params(params, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
     """Pad the pytree into 128-aligned matrices for the kernel.
 
     Returns (flat list of arrays, meta dict). Layer i's weight is stored
-    [in_pad, W]; the post-skip layer is split into (emb rows, h rows).
+    [in_pad, W]; the post-skip layer is split into (emb rows, h rows); the
+    feature and alpha heads are packed into ONE [W, W+128] matmul (col W is
+    alpha) so the 1-wide alpha head doesn't cost a padded 128-wide matmul.
     """
     W = cfg.netwidth
     in_ch, view_ch = cfg.input_ch, cfg.input_ch_views
     skip = cfg.skips[0] if cfg.skips else -1
+
+    def cast(x):
+        return x.astype(dtype)
 
     def pad_rows(w, rows):
         return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
@@ -69,43 +74,53 @@ def pack_params(params, cfg) -> Tuple[list, dict]:
         w = lyr["w"]
         if i == skip + 1:
             # split: emb part [in_ch, W] and h part [W, W]
-            flat.append(pad_rows(w[:in_ch], 128))
-            flat.append(w[in_ch:])
+            flat.append(cast(pad_rows(w[:in_ch], 128)))
+            flat.append(cast(w[in_ch:]))
         elif i == 0:
-            flat.append(pad_rows(w, 128))
+            flat.append(cast(pad_rows(w, 128)))
         else:
-            flat.append(w)
-        flat.append(lyr["b"][None, :])  # [1, W]
+            flat.append(cast(w))
+        flat.append(lyr["b"][None, :].astype(jnp.float32))  # [1, W]
 
-    flat.append(params["feature_linear"]["w"])
-    flat.append(params["feature_linear"]["b"][None, :])
-    # alpha head padded to 128 output lanes
-    flat.append(jnp.pad(params["alpha_linear"]["w"], ((0, 0), (0, 127))))
-    flat.append(jnp.pad(params["alpha_linear"]["b"], (0, 127))[None, :])
+    # feature+alpha packed: [W, W+128], cols [0,W) feature, col W alpha.
+    fa_w = jnp.concatenate(
+        [
+            params["feature_linear"]["w"],
+            jnp.pad(params["alpha_linear"]["w"], ((0, 0), (0, 127))),
+        ],
+        axis=1,
+    )
+    fa_b = jnp.concatenate(
+        [params["feature_linear"]["b"], jnp.pad(params["alpha_linear"]["b"], (0, 127))]
+    )
+    flat.append(cast(fa_w))
+    flat.append(fa_b[None, :].astype(jnp.float32))
     # views layer: [W + view_ch, W//2] -> feature part + view part (padded)
     vw = params["views_linears"][0]["w"]
-    flat.append(vw[:W])  # [W, W//2]
-    flat.append(pad_rows(vw[W:], 128))  # [128, W//2]
-    flat.append(params["views_linears"][0]["b"][None, :])
+    flat.append(cast(vw[:W]))  # [W, W//2]
+    flat.append(cast(pad_rows(vw[W:], 128)))  # [128, W//2]
+    flat.append(params["views_linears"][0]["b"][None, :].astype(jnp.float32))
     # rgb head [W//2, 3] padded to 128 lanes
-    flat.append(jnp.pad(params["rgb_linear"]["w"], ((0, 0), (0, 125))))
-    flat.append(jnp.pad(params["rgb_linear"]["b"], (0, 125))[None, :])
+    flat.append(cast(jnp.pad(params["rgb_linear"]["w"], ((0, 0), (0, 125)))))
+    flat.append(jnp.pad(params["rgb_linear"]["b"], (0, 125))[None, :].astype(jnp.float32))
 
     meta = {"D": cfg.netdepth, "W": W, "skip": skip, "in_ch": in_ch, "view_ch": view_ch}
     return flat, meta
 
 
-def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int):
+def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int):
     """One tile: trunk + heads. refs = packed weights... , out_ref."""
     out_ref = refs[-1]
     wrefs = refs[:-1]
+    cdt = wrefs[0].dtype  # compute dtype (f32 or bf16), accumulation f32
 
     it = iter(wrefs)
 
     def nxt():
         return next(it)[:]
 
-    emb = emb_ref[:]  # [P, 128]
+    emb = emb_ref[:].astype(cdt)  # [P, 128]
+    vemb = vemb_ref[:].astype(cdt)
     h = None
     for i in range(D):
         if i == skip + 1:
@@ -122,26 +137,27 @@ def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int):
             b = nxt()
             x = emb if i == 0 else h
             z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        h = jnp.maximum(z, 0.0)
+        h = jnp.maximum(z, 0.0).astype(cdt)
 
-    w_feat, b_feat = nxt(), nxt()
-    w_alpha, b_alpha = nxt(), nxt()
-    alpha = jnp.dot(h, w_alpha, preferred_element_type=jnp.float32) + b_alpha  # [P,128]
-    feat = jnp.dot(h, w_feat, preferred_element_type=jnp.float32) + b_feat
+    # Packed feature+alpha head: [P, W] @ [W, W+128]; col W is alpha.
+    fa_w, fa_b = nxt(), nxt()
+    fa = jnp.dot(h, fa_w, preferred_element_type=jnp.float32) + fa_b
+    alpha = fa[:, W : W + 1]
+    feat = fa[:, :W].astype(cdt)  # no activation (model.py:50)
 
     w_vf, w_vv, b_v = nxt(), nxt(), nxt()
     hv = jnp.maximum(
         jnp.dot(feat, w_vf, preferred_element_type=jnp.float32)
-        + jnp.dot(vemb_ref[:], w_vv, preferred_element_type=jnp.float32)
+        + jnp.dot(vemb, w_vv, preferred_element_type=jnp.float32)
         + b_v,
         0.0,
-    )  # [P, W//2]
+    ).astype(cdt)  # [P, W//2]
     w_rgb, b_rgb = nxt(), nxt()
     rgb = jnp.dot(hv, w_rgb, preferred_element_type=jnp.float32) + b_rgb  # [P,128]
 
     # out lanes: 0..2 rgb, 3 alpha.
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
-    out_ref[:] = jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha[:, 0:1], 0.0))
+    out_ref[:] = jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
 
 
 def _run_fwd(flat, emb_p, vemb_p, meta, block: int, interpret: bool):
@@ -155,7 +171,7 @@ def _run_fwd(flat, emb_p, vemb_p, meta, block: int, interpret: bool):
         r, c = arr.shape
         in_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, D=meta["D"], skip=meta["skip"]),
+        functools.partial(_fwd_kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
         out_shape=jax.ShapeDtypeStruct((P, 128), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -169,13 +185,15 @@ def fused_trunk(
     cfg,
     pts_emb: jnp.ndarray,
     views_emb: jnp.ndarray,
-    block: int = 1024,
+    block: int = 2048,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fused forward of the vanilla trunk on embedded inputs.
 
     pts_emb [..., input_ch], views_emb [..., input_ch_views] -> raw [..., 4].
-    Differentiable (custom VJP with in-kernel rematerialization).
+    Differentiable (custom VJP). ``compute_dtype=bf16`` halves VMEM/HBM and
+    doubles MXU rate (fp32 accumulation either way).
     """
     lead = pts_emb.shape[:-1]
     emb = pts_emb.reshape(-1, pts_emb.shape[-1])
@@ -183,26 +201,32 @@ def fused_trunk(
     n = emb.shape[0]
     P = _round_up(max(n, block), block)
 
-    emb_p = jnp.zeros((P, 128), jnp.float32).at[:n, : emb.shape[-1]].set(emb)
-    vemb_p = jnp.zeros((P, 128), jnp.float32).at[:n, : vemb.shape[-1]].set(vemb)
+    emb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : emb.shape[-1]].set(
+        emb.astype(compute_dtype)
+    )
+    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : vemb.shape[-1]].set(
+        vemb.astype(compute_dtype)
+    )
 
-    flat, meta = pack_params(params, cfg)
-    out = _fused_call(tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], block, interpret)
+    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    out = _fused_call(
+        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret
+    )
     return out[:n, :4].reshape(*lead, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_call(flat, emb_p, vemb_p, D, skip, block, interpret):
-    meta = {"D": D, "skip": skip}
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_call(flat, emb_p, vemb_p, D, skip, W, block, interpret):
+    meta = {"D": D, "skip": skip, "W": W}
     return _run_fwd(list(flat), emb_p, vemb_p, meta, block, interpret)
 
 
-def _fused_fwd(flat, emb_p, vemb_p, D, skip, block, interpret):
-    out = _fused_call(flat, emb_p, vemb_p, D, skip, block, interpret)
+def _fused_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret):
+    out = _fused_call(flat, emb_p, vemb_p, D, skip, W, block, interpret)
     return out, (flat, emb_p, vemb_p)
 
 
-def _fused_bwd(D, skip, block, interpret, res, g):
+def _fused_bwd(D, skip, W, block, interpret, res, g):
     """Backward via jax.vjp over a jnp replay of the packed-weight forward.
 
     The replay below is structurally identical to the kernel; XLA's remat of
@@ -211,8 +235,12 @@ def _fused_bwd(D, skip, block, interpret, res, g):
     already in place so only this function changes.)
     """
 
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
     def replay(flat, emb, vemb):
         it = iter(flat)
+        cdt = flat[0].dtype
 
         def nxt():
             return next(it)
@@ -221,21 +249,21 @@ def _fused_bwd(D, skip, block, interpret, res, g):
         for i in range(D):
             if i == skip + 1:
                 w_top, w_bot, b = nxt(), nxt(), nxt()
-                z = emb @ w_top + h @ w_bot + b
+                z = mm(emb, w_top) + mm(h, w_bot) + b
             else:
                 w, b = nxt(), nxt()
-                z = (emb if i == 0 else h) @ w + b
-            h = jnp.maximum(z, 0.0)
-        w_feat, b_feat = nxt(), nxt()
-        w_alpha, b_alpha = nxt(), nxt()
-        alpha = h @ w_alpha + b_alpha
-        feat = h @ w_feat + b_feat
+                z = mm(emb if i == 0 else h, w) + b
+            h = jnp.maximum(z, 0.0).astype(cdt)
+        fa_w, fa_b = nxt(), nxt()
+        fa = mm(h, fa_w) + fa_b
+        alpha = fa[:, W : W + 1]
+        feat = fa[:, :W].astype(cdt)
         w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-        hv = jnp.maximum(feat @ w_vf + vemb @ w_vv + b_v, 0.0)
+        hv = jnp.maximum(mm(feat, w_vf) + mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
         w_rgb, b_rgb = nxt(), nxt()
-        rgb = hv @ w_rgb + b_rgb
+        rgb = mm(hv, w_rgb) + b_rgb
         lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
-        return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha[:, 0:1], 0.0))
+        return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
 
     flat, emb_p, vemb_p = res
     _, vjp = jax.vjp(replay, list(flat), emb_p, vemb_p)

@@ -158,6 +158,16 @@ def train(argv=None):
         print("Done rendering", savedir)
         return
 
+    if os.environ.get("SWNERF_DEBUG_NANS") == "1":
+        # Opt-in analog of the reference's always-on anomaly detection
+        # (utils.py:2) — a perf foot-gun there, a debug switch here.
+        from swnerf_tpu.utils.logging import enable_debug_nans
+
+        enable_debug_nans(True)
+
+    from swnerf_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler()
     logger = ExperimentLogger(args.basedir, args.expname)
     train_step = make_train_step(field, rcfg, optimizer)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
@@ -182,6 +192,7 @@ def train(argv=None):
     print("TEST views are", scene.i_test)
 
     for i in range(start + 1, n_iters):
+        profiler.step(i, start)
         if use_batching:
             idx = jnp.asarray(sampler.next_indices())
             state, metrics = step_fn(state, sampler.pool, idx, base_rng)
@@ -219,6 +230,7 @@ def train(argv=None):
             rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
             print(f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
 
+    profiler.close()
     logger.close()
 
 
