@@ -163,7 +163,15 @@ def make_vanilla_field(
         if use_fused:
             from swnerf_tpu.ops.pallas.raymarch import fused_trunk
 
-            raw = fused_trunk(params, cfg, pts_emb, views_emb, interpret=fused_interpret)
+            cdt = (
+                jnp.bfloat16
+                if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+                else jnp.float32
+            )
+            raw = fused_trunk(
+                params, cfg, pts_emb, views_emb,
+                interpret=fused_interpret, compute_dtype=cdt,
+            )
         else:
             raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)
         return raw, {}

@@ -226,13 +226,196 @@ def _fused_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret):
     return out, (flat, emb_p, vemb_p)
 
 
-def _fused_bwd(D, skip, W, block, interpret, res, g):
+def _tmm(a, b):
+    """a^T @ b contraction over rows (no materialized transpose)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mmt(a, b):
+    """a @ b^T contraction over last dims."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
+    """Backward tile: recompute forward activations in VMEM, then reverse.
+
+    refs layout: packed weights..., then outputs: [dW/db per packed array...,
+    demb, dvemb]. Weight/bias grads are f32 accumulators shared across grid
+    steps (zero-initialized at program 0, += afterwards)."""
+    n_w = (len(refs) - 2) // 2
+    wrefs = refs[:n_w]
+    grefs = refs[n_w:-2]
+    demb_ref, dvemb_ref = refs[-2], refs[-1]
+    cdt = wrefs[0].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
+
+    it = iter(wrefs)
+
+    def nxt():
+        return next(it)[:]
+
+    emb = emb_ref[:].astype(cdt)
+    vemb = vemb_ref[:].astype(cdt)
+
+    # ---- forward recompute, keeping post-relu activations ----
+    hs = []
+    h = None
+    ws = []
+    for i in range(D):
+        if i == skip + 1:
+            w_top, w_bot, b = nxt(), nxt(), nxt()
+            z = (
+                jnp.dot(emb, w_top, preferred_element_type=jnp.float32)
+                + jnp.dot(h, w_bot, preferred_element_type=jnp.float32)
+                + b
+            )
+            ws.append((w_top, w_bot))
+        else:
+            w, b = nxt(), nxt()
+            z = jnp.dot(emb if i == 0 else h, w, preferred_element_type=jnp.float32) + b
+            ws.append((w,))
+        h = jnp.maximum(z, 0.0).astype(cdt)
+        hs.append(h)
+
+    fa_w, fa_b = nxt(), nxt()
+    fa = jnp.dot(h, fa_w, preferred_element_type=jnp.float32) + fa_b
+    feat = fa[:, :W].astype(cdt)
+    w_vf, w_vv, _b_v = nxt(), nxt(), nxt()
+    hv_pre = (
+        jnp.dot(feat, w_vf, preferred_element_type=jnp.float32)
+        + jnp.dot(vemb, w_vv, preferred_element_type=jnp.float32)
+        + _b_v
+    )
+    hv = jnp.maximum(hv_pre, 0.0).astype(cdt)
+    w_rgb, _b_rgb = nxt(), nxt()
+
+    # ---- backward ----
+    g = g_ref[:]  # [P, 128] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g_rgb = jnp.where(lane < 3, g, 0.0).astype(cdt)
+    dalpha = jnp.where(lane == 3, g, 0.0)  # alpha grad sits in lane 3
+
+    gi = iter(grefs)
+
+    def acc(val):
+        r = next(gi)
+        r[:] += val.astype(r.dtype)
+
+    # In grefs order we must emit grads matching the flat weight order, so
+    # compute them and stash, then write in order at the end.
+    out_grads = {}
+
+    # rgb head
+    dhv = _mmt(g_rgb, w_rgb) * (hv > 0)  # [P, W//2] f32
+    dW_rgb = _tmm(hv, g_rgb)
+    db_rgb = jnp.sum(g_rgb.astype(jnp.float32), axis=0, keepdims=True)
+    dhv_c = dhv.astype(cdt)
+
+    # views layer
+    dfeat = _mmt(dhv_c, w_vf)  # [P, W]
+    dvemb = _mmt(dhv_c, w_vv)  # [P, 128]
+    dW_vf = _tmm(feat, dhv_c)
+    dW_vv = _tmm(vemb, dhv_c)
+    db_v = jnp.sum(dhv, axis=0, keepdims=True)
+
+    # packed feature+alpha
+    dfa = jnp.concatenate([dfeat, jnp.zeros_like(dalpha)], axis=1)
+    fa_lane = jax.lax.broadcasted_iota(jnp.int32, dfa.shape, 1)
+    # place dalpha's lane-3 value at lane W: roll the alpha grad into place.
+    dalpha_col = jnp.sum(dalpha, axis=1, keepdims=True)  # [P,1] (only lane 3 nonzero)
+    dfa = jnp.where(fa_lane == W, dalpha_col, dfa).astype(cdt)
+    dh = _mmt(dfa, fa_w)  # [P, W]
+    dW_fa = _tmm(hs[D - 1], dfa)
+    db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
+
+    # trunk reverse
+    demb = jnp.zeros(emb.shape, jnp.float32)
+    trunk_grads = []
+    for i in range(D - 1, -1, -1):
+        dz = (dh * (hs[i] > 0)).astype(cdt)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        if i == skip + 1:
+            w_top, w_bot = ws[i]
+            dW_top = _tmm(emb, dz)
+            dW_bot = _tmm(hs[i - 1], dz)
+            demb = demb + _mmt(dz, w_top)
+            dh = _mmt(dz, w_bot)
+            trunk_grads.append((dW_top, dW_bot, db))
+        else:
+            (w,) = ws[i]
+            x = emb if i == 0 else hs[i - 1]
+            dW = _tmm(x, dz)
+            if i == 0:
+                demb = demb + _mmt(dz, w)
+            else:
+                dh = _mmt(dz, w)
+            trunk_grads.append((dW, db))
+
+    # Emit in flat order: trunk layers 0..D-1, fa, views, rgb.
+    for i in range(D):
+        for gval in trunk_grads[D - 1 - i]:
+            acc(gval)
+    acc(dW_fa)
+    acc(db_fa)
+    acc(dW_vf)
+    acc(dW_vv)
+    acc(db_v)
+    acc(dW_rgb)
+    acc(db_rgb)
+
+    demb_ref[:] = demb
+    dvemb_ref[:] = dvemb.astype(jnp.float32)
+
+
+def _run_bwd(flat, emb_p, vemb_p, g, meta, block: int, interpret: bool):
+    P = emb_p.shape[0]
+    grid = (P // block,)
+
+    def tile_spec():
+        return pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [tile_spec(), tile_spec(), tile_spec()]
+    for arr in flat:
+        r, c = arr.shape
+        in_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    out_shapes = []
+    out_specs = []
+    for arr in flat:
+        r, c = arr.shape
+        out_shapes.append(jax.ShapeDtypeStruct((r, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    out_shapes += [
+        jax.ShapeDtypeStruct((P, 128), jnp.float32),
+        jax.ShapeDtypeStruct((P, 128), jnp.float32),
+    ]
+    out_specs += [tile_spec(), tile_spec()]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(emb_p, vemb_p, g, *flat)
+    dflat = [d.astype(f.dtype) for d, f in zip(outs[: len(flat)], flat)]
+    return dflat, outs[-2], outs[-1]
+
+
+def _fused_bwd_xla(D, skip, W, block, interpret, res, g):
     """Backward via jax.vjp over a jnp replay of the packed-weight forward.
 
-    The replay below is structurally identical to the kernel; XLA's remat of
-    it is HBM-heavy but correct. (A hand-written Pallas backward kernel with
-    in-VMEM recomputation is the planned upgrade; the custom_vjp boundary is
-    already in place so only this function changes.)
+    Fallback path (SWNERF_FUSED_BWD=0); the live backward is the Pallas
+    kernel above.
     """
 
     def mm(a, b):
@@ -268,6 +451,19 @@ def _fused_bwd(D, skip, W, block, interpret, res, g):
     flat, emb_p, vemb_p = res
     _, vjp = jax.vjp(replay, list(flat), emb_p, vemb_p)
     dflat, demb, dvemb = vjp(g)
+    return tuple(dflat), demb, dvemb
+
+
+def _fused_bwd(D, skip, W, block, interpret, res, g):
+    import os
+
+    if os.environ.get("SWNERF_FUSED_BWD", "1") == "0":
+        return _fused_bwd_xla(D, skip, W, block, interpret, res, g)
+    flat, emb_p, vemb_p = res
+    meta = {"D": D, "skip": skip, "W": W}
+    dflat, demb, dvemb = _run_bwd(
+        list(flat), emb_p, vemb_p, g, meta, block, interpret
+    )
     return tuple(dflat), demb, dvemb
 
 
