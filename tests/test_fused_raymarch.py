@@ -62,8 +62,9 @@ class TestFusedTrunk:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
-    def test_field_integration(self, rng_np):
+    def test_field_integration(self, rng_np, monkeypatch):
         """make_vanilla_field(fused=True) renders identically to fused=False."""
+        monkeypatch.setenv("SWNERF_FUSED_DTYPE", "f32")
         cfg = VanillaNeRFConfig(netdepth=4, netwidth=256, multires=4, multires_views=2)
         f_ref = make_vanilla_field(cfg)
         f_fused = make_vanilla_field(cfg, fused=True, fused_interpret=True)
