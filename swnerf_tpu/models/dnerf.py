@@ -152,10 +152,42 @@ def apply_time_net(params, cfg: DNeRFConfig, pts_emb, time_emb):
     return dense(params["out"], h)
 
 
-def make_nerf_original_field(cfg: DNeRFConfig) -> Field:
+def _use_fused(cfg: DNeRFConfig) -> bool:
+    """Route the canonical trunk through the fused Pallas kernel on TPU —
+    it shares the vanilla architecture, so the same kernel serves it."""
+    import os
+
+    import jax
+
+    from swnerf_tpu.ops.pallas.raymarch import supports_config
+
+    return (
+        supports_config(cfg)
+        and jax.devices()[0].platform == "tpu"
+        and os.environ.get("SWNERF_FUSED", "1") != "0"
+    )
+
+
+def _trunk_apply(params, cfg: DNeRFConfig, pts_emb, views_emb, fused: bool):
+    if fused and cfg.use_viewdirs:
+        import os
+
+        from swnerf_tpu.ops.pallas.raymarch import fused_trunk
+
+        cdt = (
+            jnp.bfloat16
+            if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+            else jnp.float32
+        )
+        return fused_trunk(params, cfg, pts_emb, views_emb, compute_dtype=cdt)
+    return apply_nerf_original(params, cfg, pts_emb, views_emb)
+
+
+def make_nerf_original_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
     """`--nerf_type original`: static canonical network, time ignored except
     for embedding-parity of the API. Returns aux dx = zeros
     (reference model.py:296)."""
+    use_fused = _use_fused(cfg) if fused is None else fused
 
     def init(rng):
         return init_nerf_original_params(rng, cfg)
@@ -166,14 +198,15 @@ def make_nerf_original_field(cfg: DNeRFConfig) -> Field:
         if cfg.use_viewdirs:
             vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
             views_emb = positional_encoding(vd, cfg.nf_views)
-        raw = apply_nerf_original(params, cfg, pts_emb, views_emb)
+        raw = _trunk_apply(params, cfg, pts_emb, views_emb, use_fused)
         return raw, {"dx": jnp.zeros_like(pts)}
 
     return Field(init, apply)
 
 
-def make_dnerf_field(cfg: DNeRFConfig) -> Field:
+def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
     """`--nerf_type direct_temporal` (DirectTemporalNeRF)."""
+    use_fused = _use_fused(cfg) if fused is None else fused
 
     def init(rng):
         k1, k2 = jax.random.split(rng)
@@ -203,7 +236,7 @@ def make_dnerf_field(cfg: DNeRFConfig) -> Field:
         if cfg.use_viewdirs:
             vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
             views_emb = positional_encoding(vd, cfg.nf_views)
-        raw = apply_nerf_original(params["canonical"], cfg, pts_emb, views_emb)
+        raw = _trunk_apply(params["canonical"], cfg, pts_emb, views_emb, use_fused)
         return raw, {"dx": dx}
 
     return Field(init, apply)
