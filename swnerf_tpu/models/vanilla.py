@@ -155,6 +155,20 @@ def make_vanilla_field(
 
     def apply(params, pts, viewdirs: Optional[jnp.ndarray], times=None):
         del times  # static scene
+        if use_fused and cfg.i_embed == 0:
+            # Fully fused: the Fourier encoding runs inside the kernel.
+            from swnerf_tpu.ops.pallas.raymarch import fused_field_raw
+
+            cdt = (
+                jnp.bfloat16
+                if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+                else jnp.float32
+            )
+            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+            raw = fused_field_raw(
+                params, cfg, pts, vd, interpret=fused_interpret, compute_dtype=cdt
+            )
+            return raw, {}
         pts_emb = positional_encoding(pts, cfg.nf_pts)
         views_emb = None
         if cfg.use_viewdirs:

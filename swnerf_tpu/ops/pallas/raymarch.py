@@ -1,30 +1,39 @@
-"""Fused NeRF-MLP Pallas kernel: the whole trunk in one VMEM pass.
+"""Fused NeRF ray-march Pallas kernels: positional encoding + the whole MLP
+trunk in one VMEM pass (forward AND backward).
 
 This is the performance core mandated by BASELINE.json's north star (fuse
-embedder + MLP + compositing instead of the reference's ``netchunk`` Python
-loop, nerf/run.py:63-87). The XLA path materializes every hidden layer
-([P, 256] fp32) to HBM between matmuls — ~10 round trips per point — which
-caps throughput well below the MXU. This kernel keeps ALL weights (~2.4 MB)
-and the running activation tile in VMEM; only the embedded inputs and the
+embedder + MLP instead of the reference's ``netchunk`` Python loop,
+nerf/run.py:63-87). The XLA path materializes every hidden layer ([P, 256])
+to HBM between matmuls — ~10 round trips per point — which caps throughput
+well below the MXU. These kernels keep ALL weights (~2.4 MB) and the running
+activation tile in VMEM; only raw (pts, viewdirs) [P, 8] inputs and the
 4-channel raw output touch HBM.
 
-Layout: points-major [P_tile, C] with C zero-padded to 128 lanes. The skip
-concat (model.py:45-46) is expressed as a split matmul:
-``cat([emb, h]) @ W == emb @ W_top + h @ W_bottom`` — no in-kernel
-concatenation. The view branch reuses the same trick.
+Key tricks:
+  * skip / view concats as split matmuls:
+    ``cat([emb, h]) @ W == emb @ W_top + h @ W_bottom`` (no concatenation);
+  * feature+alpha heads packed into one [W, W+128] matmul;
+  * the Fourier embedding as matmul+sin:
+    ``emb = pts8 @ E0 + sin(pts8 @ S + PHASE) * MASK`` where S holds the
+    2^i frequencies and PHASE turns sin columns into cos (cos t =
+    sin(t + pi/2)) — so the encoder and its VJP live on the MXU/VPU with no
+    HBM intermediates;
+  * backward = second kernel: recompute activations per tile (remat in
+    VMEM), reverse with transpose-free dot_generals, accumulate dW/db in
+    VMEM-resident f32 accumulators across grid steps.
 
-The op is differentiable via ``jax.custom_vjp``: the backward pass is a
-second Pallas kernel that *recomputes* the forward activations tile-by-tile
-in VMEM (rematerialization — trading FLOPs for HBM, the right trade on TPU)
-and accumulates dW/db across grid steps in VMEM-resident accumulators.
+v5e notes: vector compares must be f32 (no bf16 cmp); backward tiles are
+sized so D resident activations + accumulators fit 16 MB VMEM.
 
 Covers the flagship architecture (use_viewdirs, one skip, netwidth % 128 ==
-0); other configs fall back to the jnp trunk (models/vanilla.py).
+0, embed dims <= 128); other configs fall back to the jnp trunk
+(models/vanilla.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -39,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supports_config(cfg) -> bool:
-    """The fused kernel covers the flagship shape family."""
+    """The fused kernels cover the flagship shape family."""
     return (
         cfg.use_viewdirs
         and cfg.netwidth % 128 == 0
@@ -51,17 +60,19 @@ def supports_config(cfg) -> bool:
     )
 
 
-def pack_params(params, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
-    """Pad the pytree into 128-aligned matrices for the kernel.
+# ---------------------------------------------------------------------------
+# Parameter packing
+# ---------------------------------------------------------------------------
 
-    Returns (flat list of arrays, meta dict). Layer i's weight is stored
-    [in_pad, W]; the post-skip layer is split into (emb rows, h rows); the
-    feature and alpha heads are packed into ONE [W, W+128] matmul (col W is
-    alpha) so the 1-wide alpha head doesn't cost a padded 128-wide matmul.
+
+def pack_params(params, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
+    """Pad the pytree into 128-aligned matrices for the kernels.
+
+    Layer i's weight is stored [in_pad, W]; the post-skip layer is split
+    into (emb rows, h rows); feature+alpha are one [W, W+128] matmul
+    (col W = alpha).
     """
     W = cfg.netwidth
-    in_ch, view_ch = cfg.input_ch, cfg.input_ch_views
-    skip = cfg.skips[0] if cfg.skips else -1
 
     def cast(x):
         return x.astype(dtype)
@@ -69,20 +80,19 @@ def pack_params(params, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
     def pad_rows(w, rows):
         return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
 
+    skip = cfg.skips[0] if cfg.skips else -1
     flat = []
     for i, lyr in enumerate(params["pts_linears"]):
         w = lyr["w"]
         if i == skip + 1:
-            # split: emb part [in_ch, W] and h part [W, W]
-            flat.append(cast(pad_rows(w[:in_ch], 128)))
-            flat.append(cast(w[in_ch:]))
+            flat.append(cast(pad_rows(w[: cfg.input_ch], 128)))
+            flat.append(cast(w[cfg.input_ch :]))
         elif i == 0:
             flat.append(cast(pad_rows(w, 128)))
         else:
             flat.append(cast(w))
-        flat.append(lyr["b"][None, :].astype(jnp.float32))  # [1, W]
+        flat.append(lyr["b"][None, :].astype(jnp.float32))
 
-    # feature+alpha packed: [W, W+128], cols [0,W) feature, col W alpha.
     fa_w = jnp.concatenate(
         [
             params["feature_linear"]["w"],
@@ -95,135 +105,70 @@ def pack_params(params, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
     )
     flat.append(cast(fa_w))
     flat.append(fa_b[None, :].astype(jnp.float32))
-    # views layer: [W + view_ch, W//2] -> feature part + view part (padded)
     vw = params["views_linears"][0]["w"]
-    flat.append(cast(vw[:W]))  # [W, W//2]
-    flat.append(cast(pad_rows(vw[W:], 128)))  # [128, W//2]
+    flat.append(cast(vw[:W]))
+    flat.append(cast(pad_rows(vw[W:], 128)))
     flat.append(params["views_linears"][0]["b"][None, :].astype(jnp.float32))
-    # rgb head [W//2, 3] padded to 128 lanes
     flat.append(cast(jnp.pad(params["rgb_linear"]["w"], ((0, 0), (0, 125)))))
     flat.append(jnp.pad(params["rgb_linear"]["b"], (0, 125))[None, :].astype(jnp.float32))
 
-    meta = {"D": cfg.netdepth, "W": W, "skip": skip, "in_ch": in_ch, "view_ch": view_ch}
+    meta = {"D": cfg.netdepth, "W": W, "skip": skip}
     return flat, meta
 
 
-def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int):
-    """One tile: trunk + heads. refs = packed weights... , out_ref."""
-    out_ref = refs[-1]
-    wrefs = refs[:-1]
-    cdt = wrefs[0].dtype  # compute dtype (f32 or bf16), accumulation f32
-
-    it = iter(wrefs)
-
-    def nxt():
-        return next(it)[:]
-
-    emb = emb_ref[:].astype(cdt)  # [P, 128]
-    vemb = vemb_ref[:].astype(cdt)
-    h = None
-    for i in range(D):
-        if i == skip + 1:
-            w_top = nxt()
-            w_bot = nxt()
-            b = nxt()
-            z = (
-                jnp.dot(emb, w_top, preferred_element_type=jnp.float32)
-                + jnp.dot(h, w_bot, preferred_element_type=jnp.float32)
-                + b
-            )
-        else:
-            w = nxt()
-            b = nxt()
-            x = emb if i == 0 else h
-            z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        h = jnp.maximum(z, 0.0).astype(cdt)
-
-    # Packed feature+alpha head: [P, W] @ [W, W+128]; col W is alpha.
-    fa_w, fa_b = nxt(), nxt()
-    fa = jnp.dot(h, fa_w, preferred_element_type=jnp.float32) + fa_b
-    alpha = fa[:, W : W + 1]
-    feat = fa[:, :W].astype(cdt)  # no activation (model.py:50)
-
-    w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-    hv = jnp.maximum(
-        jnp.dot(feat, w_vf, preferred_element_type=jnp.float32)
-        + jnp.dot(vemb, w_vv, preferred_element_type=jnp.float32)
-        + b_v,
-        0.0,
-    ).astype(cdt)  # [P, W//2]
-    w_rgb, b_rgb = nxt(), nxt()
-    rgb = jnp.dot(hv, w_rgb, preferred_element_type=jnp.float32) + b_rgb  # [P,128]
-
-    # out lanes: 0..2 rgb, 3 alpha.
-    lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
-    out_ref[:] = jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
+# ---------------------------------------------------------------------------
+# In-kernel Fourier embedding (matmul + phase-shifted sin)
+# ---------------------------------------------------------------------------
 
 
-def _run_fwd(flat, emb_p, vemb_p, meta, block: int, interpret: bool):
-    P = emb_p.shape[0]
-    grid = (P // block,)
-    in_specs = [
-        pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    for arr in flat:
-        r, c = arr.shape
-        in_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
-        out_shape=jax.ShapeDtypeStruct((P, 128), jnp.float32),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(emb_p, vemb_p, *flat)
+def build_embed_consts(num_freqs: int, dims: int = 3):
+    """Constants for emb = x8 @ E0 + sin(x8 @ S + PHASE) * MASK.
 
-
-def fused_trunk(
-    params,
-    cfg,
-    pts_emb: jnp.ndarray,
-    views_emb: jnp.ndarray,
-    block: int = 2048,
-    interpret: bool = False,
-    compute_dtype=jnp.float32,
-) -> jnp.ndarray:
-    """Fused forward of the vanilla trunk on embedded inputs.
-
-    pts_emb [..., input_ch], views_emb [..., input_ch_views] -> raw [..., 4].
-    Differentiable (custom VJP). ``compute_dtype=bf16`` halves VMEM/HBM and
-    doubles MXU rate (fp32 accumulation either way).
+    Column layout matches ops.embedding.positional_encoding: identity dims,
+    then per freq i: sin(2^i x)(dims), cos(2^i x)(dims). x8 is the input
+    padded to 8 lanes.
     """
-    lead = pts_emb.shape[:-1]
-    emb = pts_emb.reshape(-1, pts_emb.shape[-1])
-    vemb = views_emb.reshape(-1, views_emb.shape[-1])
-    n = emb.shape[0]
-    P = _round_up(max(n, block), block)
-
-    emb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : emb.shape[-1]].set(
-        emb.astype(compute_dtype)
-    )
-    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : vemb.shape[-1]].set(
-        vemb.astype(compute_dtype)
-    )
-
-    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
-    out = _fused_call(
-        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret
-    )
-    return out[:n, :4].reshape(*lead, 4)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fused_call(flat, emb_p, vemb_p, D, skip, W, block, interpret):
-    meta = {"D": D, "skip": skip, "W": W}
-    return _run_fwd(list(flat), emb_p, vemb_p, meta, block, interpret)
+    out_dim = dims + 2 * num_freqs * dims
+    assert out_dim <= 128
+    E0 = np.zeros((8, 128), np.float32)
+    S = np.zeros((8, 128), np.float32)
+    PHASE = np.zeros((1, 128), np.float32)
+    MASK = np.zeros((1, 128), np.float32)
+    for a in range(dims):
+        E0[a, a] = 1.0
+    for i in range(num_freqs):
+        f = float(2.0**i)
+        base = dims + 2 * dims * i
+        for a in range(dims):
+            S[a, base + a] = f  # sin column
+            S[a, base + dims + a] = f  # cos column
+            PHASE[0, base + dims + a] = np.pi / 2.0
+            MASK[0, base + a] = 1.0
+            MASK[0, base + dims + a] = 1.0
+    return E0, S, PHASE, MASK
 
 
-def _fused_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret):
-    out = _fused_call(flat, emb_p, vemb_p, D, skip, W, block, interpret)
-    return out, (flat, emb_p, vemb_p)
+def _embed_fwd(x8, e0, s, phase, mask):
+    """x8 [B, 8] f32 -> emb [B, 128] f32."""
+    ident = jnp.dot(x8, e0, preferred_element_type=jnp.float32)
+    t = jnp.dot(x8, s, preferred_element_type=jnp.float32) + phase
+    return ident + jnp.sin(t) * mask
+
+
+def _embed_bwd(x8, g, e0, s, phase, mask):
+    """d(emb)/d(x8)^T @ g: [B, 128] f32 -> [B, 8] f32."""
+    t = jnp.dot(x8, s, preferred_element_type=jnp.float32) + phase
+    gs = g * mask * jnp.cos(t)
+    return _mmt(g, e0) + _mmt(gs, s)
+
+
+# ---------------------------------------------------------------------------
+# Shared trunk bodies (operate on values; weight iterator supplies arrays)
+# ---------------------------------------------------------------------------
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _tmm(a, b):
@@ -240,12 +185,134 @@ def _mmt(a, b):
     )
 
 
-def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
-    """Backward tile: recompute forward activations in VMEM, then reverse.
+def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int):
+    """emb/vemb [B, 128] (compute dtype) -> raw out [B, 128] f32
+    (lanes 0-2 rgb, 3 alpha)."""
+    cdt = emb.dtype
+    h = None
+    for i in range(D):
+        if i == skip + 1:
+            w_top, w_bot, b = nxt(), nxt(), nxt()
+            z = _mm(emb, w_top) + _mm(h, w_bot) + b
+        else:
+            w, b = nxt(), nxt()
+            z = _mm(emb if i == 0 else h, w) + b
+        h = jnp.maximum(z, 0.0).astype(cdt)
 
-    refs layout: packed weights..., then outputs: [dW/db per packed array...,
-    demb, dvemb]. Weight/bias grads are f32 accumulators shared across grid
-    steps (zero-initialized at program 0, += afterwards)."""
+    fa_w, fa_b = nxt(), nxt()
+    fa = _mm(h, fa_w) + fa_b
+    alpha = fa[:, W : W + 1]
+    feat = fa[:, :W].astype(cdt)  # no activation (model.py:50)
+
+    w_vf, w_vv, b_v = nxt(), nxt(), nxt()
+    hv = jnp.maximum(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
+    w_rgb, b_rgb = nxt(), nxt()
+    rgb = _mm(hv, w_rgb) + b_rgb
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
+    return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
+
+
+def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int):
+    """Recompute + reverse. Returns (grads list in flat order, demb, dvemb)
+    — all f32. Masks compared in f32 (no bf16 cmp on v5e)."""
+    cdt = emb.dtype
+
+    # forward recompute keeping post-relu activations
+    hs = []
+    ws = []
+    h = None
+    for i in range(D):
+        if i == skip + 1:
+            w_top, w_bot, b = nxt(), nxt(), nxt()
+            z = _mm(emb, w_top) + _mm(h, w_bot) + b
+            ws.append((w_top, w_bot))
+        else:
+            w, b = nxt(), nxt()
+            z = _mm(emb if i == 0 else h, w) + b
+            ws.append((w,))
+        h = jnp.maximum(z, 0.0).astype(cdt)
+        hs.append(h)
+
+    fa_w, fa_b = nxt(), nxt()
+    fa = _mm(h, fa_w) + fa_b
+    feat = fa[:, :W].astype(cdt)
+    w_vf, w_vv, b_v = nxt(), nxt(), nxt()
+    hv = jnp.maximum(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
+    w_rgb, _b_rgb = nxt(), nxt()
+
+    # backward
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g_rgb = jnp.where(lane < 3, g, 0.0).astype(cdt)
+    dalpha = jnp.where(lane == 3, g, 0.0)
+
+    dhv = _mmt(g_rgb, w_rgb) * (hv.astype(jnp.float32) > 0)
+    dW_rgb = _tmm(hv, g_rgb)
+    db_rgb = jnp.sum(g_rgb.astype(jnp.float32), axis=0, keepdims=True)
+    dhv_c = dhv.astype(cdt)
+
+    dfeat = _mmt(dhv_c, w_vf)
+    dvemb = _mmt(dhv_c, w_vv)
+    dW_vf = _tmm(feat, dhv_c)
+    dW_vv = _tmm(vemb, dhv_c)
+    db_v = jnp.sum(dhv, axis=0, keepdims=True)
+
+    dfa = jnp.concatenate([dfeat, jnp.zeros_like(dalpha)], axis=1)
+    fa_lane = jax.lax.broadcasted_iota(jnp.int32, dfa.shape, 1)
+    dalpha_col = jnp.sum(dalpha, axis=1, keepdims=True)
+    dfa = jnp.where(fa_lane == W, dalpha_col, dfa).astype(cdt)
+    dh = _mmt(dfa, fa_w)
+    dW_fa = _tmm(hs[D - 1], dfa)
+    db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
+
+    demb = jnp.zeros(emb.shape, jnp.float32)
+    trunk_grads = []
+    for i in range(D - 1, -1, -1):
+        dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        if i == skip + 1:
+            w_top, w_bot = ws[i]
+            trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
+            demb = demb + _mmt(dz, w_top)
+            dh = _mmt(dz, w_bot)
+        else:
+            (w,) = ws[i]
+            x = emb if i == 0 else hs[i - 1]
+            trunk_grads.append((_tmm(x, dz), db))
+            if i == 0:
+                demb = demb + _mmt(dz, w)
+            else:
+                dh = _mmt(dz, w)
+
+    grads = []
+    for i in range(D):
+        grads.extend(trunk_grads[D - 1 - i])
+    grads += [dW_fa, db_fa, dW_vf, dW_vv, db_v, dW_rgb, db_rgb]
+    return grads, demb, dvemb
+
+
+# ---------------------------------------------------------------------------
+# Kernels: embedded-input variant (emb/vemb precomputed outside)
+# ---------------------------------------------------------------------------
+
+
+def _ref_iter(refs):
+    it = iter(refs)
+
+    def nxt():
+        return next(it)[:]
+
+    return nxt
+
+
+def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int):
+    out_ref = refs[-1]
+    nxt = _ref_iter(refs[:-1])
+    cdt = refs[0].dtype
+    out_ref[:] = _trunk_forward(emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), nxt, D, skip, W)
+
+
+def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
     n_w = (len(refs) - 2) // 2
     wrefs = refs[:n_w]
     grefs = refs[n_w:-2]
@@ -257,218 +324,233 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
         for r in grefs:
             r[:] = jnp.zeros_like(r)
 
-    it = iter(wrefs)
-
-    def nxt():
-        return next(it)[:]
-
-    emb = emb_ref[:].astype(cdt)
-    vemb = vemb_ref[:].astype(cdt)
-
-    # ---- forward recompute, keeping post-relu activations ----
-    hs = []
-    h = None
-    ws = []
-    for i in range(D):
-        if i == skip + 1:
-            w_top, w_bot, b = nxt(), nxt(), nxt()
-            z = (
-                jnp.dot(emb, w_top, preferred_element_type=jnp.float32)
-                + jnp.dot(h, w_bot, preferred_element_type=jnp.float32)
-                + b
-            )
-            ws.append((w_top, w_bot))
-        else:
-            w, b = nxt(), nxt()
-            z = jnp.dot(emb if i == 0 else h, w, preferred_element_type=jnp.float32) + b
-            ws.append((w,))
-        h = jnp.maximum(z, 0.0).astype(cdt)
-        hs.append(h)
-
-    fa_w, fa_b = nxt(), nxt()
-    fa = jnp.dot(h, fa_w, preferred_element_type=jnp.float32) + fa_b
-    feat = fa[:, :W].astype(cdt)
-    w_vf, w_vv, _b_v = nxt(), nxt(), nxt()
-    hv_pre = (
-        jnp.dot(feat, w_vf, preferred_element_type=jnp.float32)
-        + jnp.dot(vemb, w_vv, preferred_element_type=jnp.float32)
-        + _b_v
+    nxt = _ref_iter(wrefs)
+    grads, demb, dvemb = _trunk_backward(
+        emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), g_ref[:], nxt, D, skip, W
     )
-    hv = jnp.maximum(hv_pre, 0.0).astype(cdt)
-    w_rgb, _b_rgb = nxt(), nxt()
-
-    # ---- backward ----
-    g = g_ref[:]  # [P, 128] f32
-    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    g_rgb = jnp.where(lane < 3, g, 0.0).astype(cdt)
-    dalpha = jnp.where(lane == 3, g, 0.0)  # alpha grad sits in lane 3
-
-    gi = iter(grefs)
-
-    def acc(val):
-        r = next(gi)
-        r[:] += val.astype(r.dtype)
-
-    # In grefs order we must emit grads matching the flat weight order, so
-    # compute them and stash, then write in order at the end.
-    out_grads = {}
-
-    # rgb head (masks compared in f32 — bf16 cmp unsupported on v5e VPU)
-    dhv = _mmt(g_rgb, w_rgb) * (hv.astype(jnp.float32) > 0)  # [P, W//2] f32
-    dW_rgb = _tmm(hv, g_rgb)
-    db_rgb = jnp.sum(g_rgb.astype(jnp.float32), axis=0, keepdims=True)
-    dhv_c = dhv.astype(cdt)
-
-    # views layer
-    dfeat = _mmt(dhv_c, w_vf)  # [P, W]
-    dvemb = _mmt(dhv_c, w_vv)  # [P, 128]
-    dW_vf = _tmm(feat, dhv_c)
-    dW_vv = _tmm(vemb, dhv_c)
-    db_v = jnp.sum(dhv, axis=0, keepdims=True)
-
-    # packed feature+alpha
-    dfa = jnp.concatenate([dfeat, jnp.zeros_like(dalpha)], axis=1)
-    fa_lane = jax.lax.broadcasted_iota(jnp.int32, dfa.shape, 1)
-    # place dalpha's lane-3 value at lane W: roll the alpha grad into place.
-    dalpha_col = jnp.sum(dalpha, axis=1, keepdims=True)  # [P,1] (only lane 3 nonzero)
-    dfa = jnp.where(fa_lane == W, dalpha_col, dfa).astype(cdt)
-    dh = _mmt(dfa, fa_w)  # [P, W]
-    dW_fa = _tmm(hs[D - 1], dfa)
-    db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
-
-    # trunk reverse
-    demb = jnp.zeros(emb.shape, jnp.float32)
-    trunk_grads = []
-    for i in range(D - 1, -1, -1):
-        dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
-        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
-        if i == skip + 1:
-            w_top, w_bot = ws[i]
-            dW_top = _tmm(emb, dz)
-            dW_bot = _tmm(hs[i - 1], dz)
-            demb = demb + _mmt(dz, w_top)
-            dh = _mmt(dz, w_bot)
-            trunk_grads.append((dW_top, dW_bot, db))
-        else:
-            (w,) = ws[i]
-            x = emb if i == 0 else hs[i - 1]
-            dW = _tmm(x, dz)
-            if i == 0:
-                demb = demb + _mmt(dz, w)
-            else:
-                dh = _mmt(dz, w)
-            trunk_grads.append((dW, db))
-
-    # Emit in flat order: trunk layers 0..D-1, fa, views, rgb.
-    for i in range(D):
-        for gval in trunk_grads[D - 1 - i]:
-            acc(gval)
-    acc(dW_fa)
-    acc(db_fa)
-    acc(dW_vf)
-    acc(dW_vv)
-    acc(db_v)
-    acc(dW_rgb)
-    acc(db_rgb)
-
+    for r, gval in zip(grefs, grads):
+        r[:] += gval.astype(r.dtype)
     demb_ref[:] = demb
-    dvemb_ref[:] = dvemb.astype(jnp.float32)
+    dvemb_ref[:] = dvemb
 
 
-def _run_bwd(flat, emb_p, vemb_p, g, meta, block: int, interpret: bool):
-    # The backward tile holds all D activations at once; shrink the block so
-    # the recompute + grad accumulators fit VMEM (f32 needs the smallest).
-    bwd_block = 512 if flat[0].dtype == jnp.float32 else 1024
-    block = min(block, bwd_block)
-    P = emb_p.shape[0]
-    grid = (P // block,)
+# ---------------------------------------------------------------------------
+# Kernels: raw-input variant (embedding fused inside)
+# ---------------------------------------------------------------------------
 
-    def tile_spec():
-        return pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    in_specs = [tile_spec(), tile_spec(), tile_spec()]
-    for arr in flat:
-        r, c = arr.shape
-        in_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
+def _fwd_kernel_raw(pts_ref, vd_ref, *refs, D: int, skip: int, W: int):
+    # refs: e0p, sp, php, mkp, e0v, sv, phv, mkv, weights..., out
+    out_ref = refs[-1]
+    consts = [r[:] for r in refs[:8]]
+    nxt = _ref_iter(refs[8:-1])
+    cdt = refs[8].dtype
+    emb = _embed_fwd(pts_ref[:], *consts[:4]).astype(cdt)
+    vemb = _embed_fwd(vd_ref[:], *consts[4:]).astype(cdt)
+    out_ref[:] = _trunk_forward(emb, vemb, nxt, D, skip, W)
 
-    out_shapes = []
-    out_specs = []
-    for arr in flat:
-        r, c = arr.shape
-        out_shapes.append(jax.ShapeDtypeStruct((r, c), jnp.float32))
-        out_specs.append(pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM))
-    out_shapes += [
-        jax.ShapeDtypeStruct((P, 128), jnp.float32),
-        jax.ShapeDtypeStruct((P, 128), jnp.float32),
+
+def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int):
+    consts = [r[:] for r in refs[:8]]
+    rest = refs[8:]
+    n_w = (len(rest) - 2) // 2
+    wrefs = rest[:n_w]
+    grefs = rest[n_w:-2]
+    dpts_ref, dvd_ref = rest[-2], rest[-1]
+    cdt = wrefs[0].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
+
+    pts8 = pts_ref[:]
+    vd8 = vd_ref[:]
+    emb = _embed_fwd(pts8, *consts[:4]).astype(cdt)
+    vemb = _embed_fwd(vd8, *consts[4:]).astype(cdt)
+    nxt = _ref_iter(wrefs)
+    grads, demb, dvemb = _trunk_backward(emb, vemb, g_ref[:], nxt, D, skip, W)
+    for r, gval in zip(grefs, grads):
+        r[:] += gval.astype(r.dtype)
+    dpts_ref[:] = _embed_bwd(pts8, demb, *consts[:4])
+    dvd_ref[:] = _embed_bwd(vd8, dvemb, *consts[4:])
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _bwd_block(dtype, block: int) -> int:
+    # Backward holds all D activations + grad accumulators in VMEM.
+    return min(block, 512 if dtype == jnp.float32 else 1024)
+
+
+def _const_specs(arrs):
+    return [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for a in arrs
     ]
-    out_specs += [tile_spec(), tile_spec()]
 
+
+def _tile_spec(block, lanes=128):
+    return pl.BlockSpec((block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
+    return pl.pallas_call(
+        functools.partial(kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
+        out_shape=jax.ShapeDtypeStruct((P, 128), jnp.float32),
+        grid=(P // block,),
+        in_specs=[_tile_spec(block, t.shape[-1]) for t in tiles]
+        + _const_specs(consts)
+        + _const_specs(flat),
+        out_specs=_tile_spec(block),
+        interpret=interpret,
+    )(*tiles, *consts, *flat)
+
+
+def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lanes):
+    block = _bwd_block(flat[0].dtype, block)
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
+    out_specs = _const_specs(flat)
+    for lanes in din_lanes:
+        out_shapes.append(jax.ShapeDtypeStruct((P, lanes), jnp.float32))
+        out_specs.append(_tile_spec(block, lanes))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
+        functools.partial(kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
         out_shape=tuple(out_shapes),
-        grid=grid,
-        in_specs=in_specs,
+        grid=(P // block,),
+        in_specs=[_tile_spec(block, t.shape[-1]) for t in tiles]
+        + [_tile_spec(block)]
+        + _const_specs(consts)
+        + _const_specs(flat),
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(emb_p, vemb_p, g, *flat)
+    )(*tiles, g, *consts, *flat)
     dflat = [d.astype(f.dtype) for d, f in zip(outs[: len(flat)], flat)]
-    return dflat, outs[-2], outs[-1]
+    return dflat, outs[len(flat) :]
 
 
-def _fused_bwd_xla(D, skip, W, block, interpret, res, g):
-    """Backward via jax.vjp over a jnp replay of the packed-weight forward.
-
-    Fallback path (SWNERF_FUSED_BWD=0); the live backward is the Pallas
-    kernel above.
-    """
-
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-    def replay(flat, emb, vemb):
-        it = iter(flat)
-        cdt = flat[0].dtype
-
-        def nxt():
-            return next(it)
-
-        h = None
-        for i in range(D):
-            if i == skip + 1:
-                w_top, w_bot, b = nxt(), nxt(), nxt()
-                z = mm(emb, w_top) + mm(h, w_bot) + b
-            else:
-                w, b = nxt(), nxt()
-                z = mm(emb if i == 0 else h, w) + b
-            h = jnp.maximum(z, 0.0).astype(cdt)
-        fa_w, fa_b = nxt(), nxt()
-        fa = mm(h, fa_w) + fa_b
-        alpha = fa[:, W : W + 1]
-        feat = fa[:, :W].astype(cdt)
-        w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-        hv = jnp.maximum(mm(feat, w_vf) + mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
-        w_rgb, b_rgb = nxt(), nxt()
-        rgb = mm(hv, w_rgb) + b_rgb
-        lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
-        return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
-
-    flat, emb_p, vemb_p = res
-    _, vjp = jax.vjp(replay, list(flat), emb_p, vemb_p)
-    dflat, demb, dvemb = vjp(g)
-    return tuple(dflat), demb, dvemb
+# ---------------------------------------------------------------------------
+# Public op 1: fused_trunk (embedded inputs)
+# ---------------------------------------------------------------------------
 
 
-def _fused_bwd(D, skip, W, block, interpret, res, g):
-    import os
+def fused_trunk(
+    params,
+    cfg,
+    pts_emb: jnp.ndarray,
+    views_emb: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused trunk on embedded inputs: [..., in_ch], [..., in_ch_views] ->
+    raw [..., 4]. Differentiable (Pallas backward)."""
+    lead = pts_emb.shape[:-1]
+    emb = pts_emb.reshape(-1, pts_emb.shape[-1])
+    vemb = views_emb.reshape(-1, views_emb.shape[-1])
+    n = emb.shape[0]
+    P = _round_up(max(n, block), block)
 
-    if os.environ.get("SWNERF_FUSED_BWD", "1") == "0":
-        return _fused_bwd_xla(D, skip, W, block, interpret, res, g)
+    emb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : emb.shape[-1]].set(
+        emb.astype(compute_dtype)
+    )
+    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : vemb.shape[-1]].set(
+        vemb.astype(compute_dtype)
+    )
+    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    out = _trunk_call(
+        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret
+    )
+    return out[:n, :4].reshape(*lead, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret):
+    meta = {"D": D, "skip": skip, "W": W}
+    P = emb_p.shape[0]
+    return _run_fwd(_fwd_kernel, [emb_p, vemb_p], [], list(flat), meta, block, interpret, P)
+
+
+def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret):
+    out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret)
+    return out, (flat, emb_p, vemb_p)
+
+
+def _trunk_call_bwd(D, skip, W, block, interpret, res, g):
     flat, emb_p, vemb_p = res
     meta = {"D": D, "skip": skip, "W": W}
-    dflat, demb, dvemb = _run_bwd(
-        list(flat), emb_p, vemb_p, g, meta, block, interpret
+    P = emb_p.shape[0]
+    dflat, (demb, dvemb) = _run_bwd(
+        _bwd_kernel, [emb_p, vemb_p], g, [], list(flat), meta, block, interpret, P,
+        din_lanes=[128, 128],
     )
-    return tuple(dflat), demb, dvemb
+    return tuple(dflat), demb.astype(emb_p.dtype), dvemb.astype(vemb_p.dtype)
 
 
-_fused_call.defvjp(_fused_fwd, _fused_bwd)
+_trunk_call.defvjp(_trunk_call_fwd, _trunk_call_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public op 2: fused_field_raw (embedding inside the kernel)
+# ---------------------------------------------------------------------------
+
+
+def fused_field_raw(
+    params,
+    cfg,
+    pts: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full fused field: raw pts [..., 3] + per-point viewdirs [..., 3] ->
+    raw [..., 4]; the Fourier encoding runs inside the kernels."""
+    assert cfg.i_embed == 0
+    lead = pts.shape[:-1]
+    p3 = pts.reshape(-1, 3)
+    v3 = viewdirs.reshape(-1, 3)
+    n = p3.shape[0]
+    P = _round_up(max(n, block), block)
+
+    pts8 = jnp.zeros((P, 8), jnp.float32).at[:n, :3].set(p3)
+    vd8 = jnp.zeros((P, 8), jnp.float32).at[:n, :3].set(v3)
+
+    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    consts = build_embed_consts(cfg.nf_pts) + build_embed_consts(cfg.nf_views)
+    consts = tuple(jnp.asarray(c) for c in consts)
+    out = _raw_call(
+        tuple(flat), pts8, vd8, consts, meta["D"], meta["skip"], meta["W"], block, interpret
+    )
+    return out[:n, :4].reshape(*lead, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret):
+    meta = {"D": D, "skip": skip, "W": W}
+    P = pts8.shape[0]
+    return _run_fwd(
+        _fwd_kernel_raw, [pts8, vd8], list(consts), list(flat), meta, block, interpret, P
+    )
+
+
+def _raw_call_fwd(flat, pts8, vd8, consts, D, skip, W, block, interpret):
+    out = _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret)
+    return out, (flat, pts8, vd8, consts)
+
+
+def _raw_call_bwd(D, skip, W, block, interpret, res, g):
+    flat, pts8, vd8, consts = res
+    meta = {"D": D, "skip": skip, "W": W}
+    P = pts8.shape[0]
+    dflat, (dpts8, dvd8) = _run_bwd(
+        _bwd_kernel_raw, [pts8, vd8], g, list(consts), list(flat), meta, block,
+        interpret, P, din_lanes=[8, 8],
+    )
+    dconsts = jax.tree.map(jnp.zeros_like, consts)
+    return tuple(dflat), dpts8, dvd8, dconsts
+
+
+_raw_call.defvjp(_raw_call_fwd, _raw_call_bwd)

@@ -7,7 +7,13 @@ import pytest
 
 from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
 from swnerf_tpu.models.vanilla import apply_vanilla_trunk, init_vanilla_params
-from swnerf_tpu.ops.pallas.raymarch import fused_trunk, supports_config
+from swnerf_tpu.ops.embedding import positional_encoding
+from swnerf_tpu.ops.pallas.raymarch import (
+    build_embed_consts,
+    fused_field_raw,
+    fused_trunk,
+    supports_config,
+)
 
 
 def _setup(multires=10, multires_views=4, D=8):
@@ -61,6 +67,59 @@ class TestFusedTrunk:
         g2 = jax.grad(loss_fused)(params)
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_embed_consts_match_positional_encoding(self, rng_np):
+        """emb = x8 @ E0 + sin(x8 @ S + PHASE) * MASK reproduces the jnp
+        encoder exactly (identity + interleaved sin/cos per freq)."""
+        for F, dims in [(10, 3), (4, 3), (1, 3)]:
+            E0, S, PH, MK = build_embed_consts(F, dims)
+            x = rng_np.standard_normal((17, dims)).astype(np.float32)
+            x8 = np.zeros((17, 8), np.float32)
+            x8[:, :dims] = x
+            got = x8 @ E0 + np.sin(x8 @ S + PH) * MK
+            want = np.asarray(positional_encoding(jnp.asarray(x), F))
+            # atol: fp32 argument reduction at 2^9·x rad makes cos-as-
+            # sin(t+pi/2) differ from cos(t) by O(1e-4) — same order as the
+            # direct encoder's own fp32 error at those frequencies.
+            np.testing.assert_allclose(got[:, : want.shape[1]], want, atol=3e-4)
+            np.testing.assert_allclose(got[:, want.shape[1] :], 0.0, atol=0)
+
+    def test_raw_variant_matches_jnp_field(self, rng_np):
+        cfg, params = _setup(multires=6, multires_views=3, D=4)
+        pts = rng_np.uniform(-1, 1, (96, 3)).astype(np.float32)
+        vd = rng_np.standard_normal((96, 3)).astype(np.float32)
+        vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+        pe = positional_encoding(jnp.asarray(pts), cfg.nf_pts)
+        ve = positional_encoding(jnp.asarray(vd), cfg.nf_views)
+        want = np.asarray(apply_vanilla_trunk(params, cfg, pe, ve))
+        got = np.asarray(
+            fused_field_raw(params, cfg, jnp.asarray(pts), jnp.asarray(vd),
+                            block=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+    def test_raw_variant_gradients(self, rng_np):
+        cfg, params = _setup(multires=4, multires_views=2, D=3)
+        pts = jnp.asarray(rng_np.uniform(-1, 1, (64, 3)).astype(np.float32))
+        vd = jnp.asarray(rng_np.standard_normal((64, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng_np.standard_normal((64, 4)).astype(np.float32))
+
+        def loss_jnp(p, pts):
+            pe = positional_encoding(pts, cfg.nf_pts)
+            ve = positional_encoding(vd, cfg.nf_views)
+            return jnp.mean((apply_vanilla_trunk(p, cfg, pe, ve) - tgt) ** 2)
+
+        def loss_raw(p, pts):
+            return jnp.mean(
+                (fused_field_raw(p, cfg, pts, vd, block=64, interpret=True) - tgt) ** 2
+            )
+
+        g1, gp1 = jax.grad(loss_jnp, argnums=(0, 1))(params, pts)
+        g2, gp2 = jax.grad(loss_raw, argnums=(0, 1))(params, pts)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+        # gradient w.r.t. the raw points flows through the in-kernel encoder
+        np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=2e-4, rtol=1e-4)
 
     def test_field_integration(self, rng_np, monkeypatch):
         """make_vanilla_field(fused=True) renders identically to fused=False."""
