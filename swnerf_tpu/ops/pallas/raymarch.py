@@ -381,8 +381,11 @@ def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_block(dtype, block: int) -> int:
-    # Backward holds all D activations + grad accumulators in VMEM.
+def _bwd_block(dtype, block: int, raw: bool = False) -> int:
+    # Backward holds all D activations + grad accumulators in VMEM; the raw
+    # variant adds the in-kernel encoder recompute temporaries.
+    if raw:
+        return min(block, 256 if dtype == jnp.float32 else 512)
     return min(block, 512 if dtype == jnp.float32 else 1024)
 
 
@@ -410,7 +413,7 @@ def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
 
 
 def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lanes):
-    block = _bwd_block(flat[0].dtype, block)
+    block = _bwd_block(flat[0].dtype, block, raw=bool(consts))
     out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
     out_specs = _const_specs(flat)
     for lanes in din_lanes:
