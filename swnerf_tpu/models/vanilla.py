@@ -155,8 +155,10 @@ def make_vanilla_field(
 
     def apply(params, pts, viewdirs: Optional[jnp.ndarray], times=None):
         del times  # static scene
-        if use_fused and cfg.i_embed == 0:
-            # Fully fused: the Fourier encoding runs inside the kernel.
+        if use_fused and cfg.i_embed == 0 and os.environ.get("SWNERF_FUSED_RAW") == "1":
+            # Fully fused variant (encoding inside the kernel). Off by
+            # default: its backward needs a smaller VMEM tile, which costs
+            # more than the fused encoder saves (PERFORMANCE.md).
             from swnerf_tpu.ops.pallas.raymarch import fused_field_raw
 
             cdt = (
