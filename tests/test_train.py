@@ -97,6 +97,47 @@ class TestOverfit:
         assert "psnr0" in metrics
         assert int(state.step) == 30
 
+    def test_hierarchical_fine_loss_decreases_with_noise(self):
+        """The fine network can start ReLU-dead (all init densities < 0 —
+        sigma ~= the alpha-head bias after trunk decay; a known vanilla-NeRF
+        seed pathology the reference shares). The reference's recommended
+        ``raw_noise_std=1e0`` regularizer unsticks it: with noise, the fine
+        loss must strictly decrease."""
+        import dataclasses
+
+        from swnerf_tpu.render import RenderConfig
+        from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+        from swnerf_tpu.train.loop import init_train_state
+
+        mcfg = VanillaNeRFConfig(netdepth=4, netwidth=64, skips=(2,), multires=6, multires_views=2)
+        field = make_vanilla_field(mcfg)
+        cfg = RenderConfig(
+            n_samples=16, n_importance=16, perturb=1.0, white_bkgd=True, raw_noise_std=1.0
+        )
+        opt = make_optimizer(lrate=5e-3, lrate_decay=250)
+        params = {
+            "coarse": field.init(jax.random.PRNGKey(0)),
+            "fine": field.init(jax.random.PRNGKey(1)),  # a ReLU-dead seed
+        }
+        state = init_train_state(params, opt)
+        jstep = jax.jit(make_train_step(field, cfg, opt))
+        rays, target = _ray_batch()
+        key = jax.random.PRNGKey(42)
+        first = None
+        for _ in range(120):
+            state, metrics = jstep(state, rays, target, key)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first * 0.7, (first, float(metrics["loss"]))
+        # And the fine params actually moved.
+        moved = sum(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(
+                jax.tree.leaves(params["fine"]), jax.tree.leaves(state.params["fine"])
+            )
+        )
+        assert moved > 0
+
 
 class TestDataParallel:
     def test_sharded_matches_single(self):
