@@ -312,6 +312,34 @@ def load_tar(path: str) -> Dict[str, Any]:
     return conv(ckpt)
 
 
+def save_native(path: str, state, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Native checkpoint: the full TrainState pytree serialized with flax
+    msgpack (SURVEY.md §5 asks for a native format alongside the torch-.tar
+    compatibility path). Atomic write."""
+    from flax import serialization
+
+    payload = {"state": state, "extra": extra or {}}
+    blob = serialization.to_bytes(payload)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_native(path: str, state_template, extra_template: Optional[Dict[str, Any]] = None):
+    """Restore a native checkpoint into the given TrainState template.
+    Returns (state, extra)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    payload = serialization.from_bytes(
+        {"state": state_template, "extra": extra_template or {}}, blob
+    )
+    return payload["state"], payload["extra"]
+
+
 def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) -> List[str]:
     """Latest-last list of ckpts (reference auto-resume, run.py:262-268)."""
     if ft_path is not None and ft_path != "None":

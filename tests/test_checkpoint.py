@@ -188,6 +188,26 @@ class TestTarIO:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
+    def test_native_checkpoint_roundtrip(self, tmp_path):
+        from swnerf_tpu.train.checkpoint import load_native, save_native
+        from swnerf_tpu.train.loop import init_train_state
+        from swnerf_tpu.train import make_optimizer
+
+        cfg, field, params_c = _tiny_vanilla()
+        params = {"coarse": params_c, "fine": None}
+        opt = make_optimizer()
+        state = init_train_state(params, opt)
+        p = str(tmp_path / "ckpt.msgpack")
+        save_native(p, state, extra={"note": "x"})
+
+        fresh = init_train_state(
+            {"coarse": field.init(jax.random.PRNGKey(9)), "fine": None}, opt
+        )
+        restored, extra = load_native(p, fresh, {"note": ""})
+        assert extra["note"] == "x"
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_find_checkpoints(self, tmp_path):
         d = tmp_path / "exp"
         d.mkdir()
