@@ -167,21 +167,29 @@ def _embed_bwd(x8, g, e0, s, phase, mask):
 # ---------------------------------------------------------------------------
 
 
+def _prec(a):
+    # f32 compute dtype means TRUE fp32 MXU passes (parity mode); bf16
+    # operands use the native single-pass MXU path.
+    return jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_prec(b))
 
 
 def _tmm(a, b):
     """a^T @ b contraction over rows (no materialized transpose)."""
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(a),
     )
 
 
 def _mmt(a, b):
     """a @ b^T contraction over last dims."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(a),
     )
 
 
