@@ -221,7 +221,23 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
         t = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
         time_emb = positional_encoding(t, cfg.nf_time)
 
-        dx = apply_time_net(params["time_net"], cfg, pts_emb, time_emb)
+        from swnerf_tpu.ops.pallas.raymarch import supports_time_net
+
+        if use_fused and supports_time_net(cfg):
+            import os
+
+            from swnerf_tpu.ops.pallas.raymarch import fused_time_net
+
+            cdt = (
+                jnp.bfloat16
+                if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+                else jnp.float32
+            )
+            dx = fused_time_net(
+                params["time_net"], cfg, pts_emb, time_emb, compute_dtype=cdt
+            )
+        else:
+            dx = apply_time_net(params["time_net"], cfg, pts_emb, time_emb)
         if cfg.zero_canonical:
             # Elementwise analog of the reference's cur_time == 0 branch
             # (model.py:144-146); exact match when all times are equal.

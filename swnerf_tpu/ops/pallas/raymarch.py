@@ -193,9 +193,11 @@ def _mmt(a, b):
     )
 
 
-def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int):
+def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int, plain_head: bool = False):
     """emb/vemb [B, 128] (compute dtype) -> raw out [B, 128] f32
-    (lanes 0-2 rgb, 3 alpha)."""
+    (lanes 0-2 rgb, 3 alpha). ``plain_head=True`` skips the view branch and
+    applies a single [W, 128] head (lanes 0-2 = output) — the D-NeRF
+    deformation-MLP shape (model.py:113-136); vemb is ignored."""
     cdt = emb.dtype
     h = None
     for i in range(D):
@@ -206,6 +208,10 @@ def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int):
             w, b = nxt(), nxt()
             z = _mm(emb if i == 0 else h, w) + b
         h = jnp.maximum(z, 0.0).astype(cdt)
+
+    if plain_head:
+        w_out, b_out = nxt(), nxt()
+        return _mm(h, w_out) + b_out
 
     fa_w, fa_b = nxt(), nxt()
     fa = _mm(h, fa_w) + fa_b
@@ -221,7 +227,7 @@ def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int):
     return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
 
 
-def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int):
+def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bool = False):
     """Recompute + reverse. Returns (grads list in flat order, demb, dvemb)
     — all f32. Masks compared in f32 (no bf16 cmp on v5e)."""
     cdt = emb.dtype
@@ -241,6 +247,36 @@ def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int):
             ws.append((w,))
         h = jnp.maximum(z, 0.0).astype(cdt)
         hs.append(h)
+
+    if plain_head:
+        w_out, _b_out = nxt(), nxt()
+        g_c = g.astype(cdt)
+        dh = _mmt(g_c, w_out)
+        dW_out = _tmm(hs[D - 1], g_c)
+        db_out = jnp.sum(g, axis=0, keepdims=True)
+        demb = jnp.zeros(emb.shape, jnp.float32)
+        trunk_grads = []
+        for i in range(D - 1, -1, -1):
+            dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
+            db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+            if i == skip + 1:
+                w_top, w_bot = ws[i]
+                trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
+                demb = demb + _mmt(dz, w_top)
+                dh = _mmt(dz, w_bot)
+            else:
+                (w,) = ws[i]
+                x = emb if i == 0 else hs[i - 1]
+                trunk_grads.append((_tmm(x, dz), db))
+                if i == 0:
+                    demb = demb + _mmt(dz, w)
+                else:
+                    dh = _mmt(dz, w)
+        grads = []
+        for i in range(D):
+            grads.extend(trunk_grads[D - 1 - i])
+        grads += [dW_out, db_out]
+        return grads, demb, jnp.zeros(vemb.shape, jnp.float32)
 
     fa_w, fa_b = nxt(), nxt()
     fa = _mm(h, fa_w) + fa_b
@@ -340,6 +376,34 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
         r[:] += gval.astype(r.dtype)
     demb_ref[:] = demb
     dvemb_ref[:] = dvemb
+
+
+def _fwd_kernel_plain(emb_ref, *refs, D: int, skip: int, W: int):
+    out_ref = refs[-1]
+    nxt = _ref_iter(refs[:-1])
+    cdt = refs[0].dtype
+    emb = emb_ref[:].astype(cdt)
+    out_ref[:] = _trunk_forward(emb, emb, nxt, D, skip, W, plain_head=True)
+
+
+def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int):
+    n_w = (len(refs) - 1) // 2
+    wrefs = refs[:n_w]
+    grefs = refs[n_w:-1]
+    demb_ref = refs[-1]
+    cdt = wrefs[0].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
+
+    emb = emb_ref[:].astype(cdt)
+    nxt = _ref_iter(wrefs)
+    grads, demb, _ = _trunk_backward(emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True)
+    for r, gval in zip(grefs, grads):
+        r[:] += gval.astype(r.dtype)
+    demb_ref[:] = demb
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +568,104 @@ _trunk_call.defvjp(_trunk_call_fwd, _trunk_call_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Public op 2: fused_field_raw (embedding inside the kernel)
+# Public op 2: fused_time_net (D-NeRF deformation MLP)
+# ---------------------------------------------------------------------------
+
+
+def supports_time_net(cfg) -> bool:
+    return (
+        cfg.netwidth % 128 == 0
+        and len(cfg.skips) <= 1
+        and cfg.input_ch + cfg.input_ch_time <= 128
+        and cfg.netdepth >= 2
+        and (not cfg.skips or 0 < cfg.skips[0] < cfg.netdepth - 1)
+    )
+
+
+def pack_time_params(tp, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
+    """Pack the deformation MLP (models/dnerf.py init_time_net_params):
+    input = [embed(x), embed(t)]; the skip concatenates embed(x) ONLY
+    (model.py:128-134) — expressed by zero-padding the split weight's rows
+    beyond input_ch, which the shared kernel then ignores exactly."""
+    W = cfg.netwidth
+    skip = cfg.skips[0] if cfg.skips else -1
+
+    def cast(x):
+        return x.astype(dtype)
+
+    def pad_rows(w, rows):
+        return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+    flat = []
+    for i, lyr in enumerate(tp["layers"]):
+        w = lyr["w"]
+        if i == skip + 1:
+            flat.append(cast(pad_rows(w[: cfg.input_ch], 128)))
+            flat.append(cast(w[cfg.input_ch :]))
+        elif i == 0:
+            flat.append(cast(pad_rows(w, 128)))
+        else:
+            flat.append(cast(w))
+        flat.append(lyr["b"][None, :].astype(jnp.float32))
+    flat.append(cast(jnp.pad(tp["out"]["w"], ((0, 0), (0, 125)))))
+    flat.append(jnp.pad(tp["out"]["b"], (0, 125))[None, :].astype(jnp.float32))
+    return flat, {"D": cfg.netdepth, "W": W, "skip": skip}
+
+
+def fused_time_net(
+    tp,
+    cfg,
+    pts_emb: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused deformation MLP: (embed(x) [..., in_ch], embed(t)
+    [..., in_ch_t]) -> dx [..., 3]."""
+    lead = pts_emb.shape[:-1]
+    pe = pts_emb.reshape(-1, pts_emb.shape[-1])
+    te = time_emb.reshape(-1, time_emb.shape[-1])
+    n = pe.shape[0]
+    P = _round_up(max(n, block), block)
+    emb_p = (
+        jnp.zeros((P, 128), compute_dtype)
+        .at[:n, : pe.shape[-1]].set(pe.astype(compute_dtype))
+        .at[:n, pe.shape[-1] : pe.shape[-1] + te.shape[-1]].set(te.astype(compute_dtype))
+    )
+    flat, meta = pack_time_params(tp, cfg, dtype=compute_dtype)
+    out = _plain_call(tuple(flat), emb_p, meta["D"], meta["skip"], meta["W"], block, interpret)
+    return out[:n, :3].reshape(*lead, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _plain_call(flat, emb_p, D, skip, W, block, interpret):
+    meta = {"D": D, "skip": skip, "W": W}
+    P = emb_p.shape[0]
+    return _run_fwd(_fwd_kernel_plain, [emb_p], [], list(flat), meta, block, interpret, P)
+
+
+def _plain_call_fwd(flat, emb_p, D, skip, W, block, interpret):
+    out = _plain_call(flat, emb_p, D, skip, W, block, interpret)
+    return out, (flat, emb_p)
+
+
+def _plain_call_bwd(D, skip, W, block, interpret, res, g):
+    flat, emb_p = res
+    meta = {"D": D, "skip": skip, "W": W}
+    P = emb_p.shape[0]
+    dflat, (demb,) = _run_bwd(
+        _bwd_kernel_plain, [emb_p], g, [], list(flat), meta, block, interpret, P,
+        din_lanes=[128],
+    )
+    return tuple(dflat), demb.astype(emb_p.dtype)
+
+
+_plain_call.defvjp(_plain_call_fwd, _plain_call_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public op 3: fused_field_raw (embedding inside the kernel)
 # ---------------------------------------------------------------------------
 
 
