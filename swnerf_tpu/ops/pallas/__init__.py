@@ -9,6 +9,20 @@ Pallas plays the role CUDA plays in the reference (the bundled
   ray tile with VMEM-resident weights.
 """
 
+from swnerf_tpu.ops.pallas.raymarch import (
+    fused_field_raw,
+    fused_time_net,
+    fused_trunk,
+    supports_config,
+    supports_time_net,
+)
 from swnerf_tpu.ops.pallas.sample_pdf import sample_pdf_pallas
 
-__all__ = ["sample_pdf_pallas"]
+__all__ = [
+    "fused_field_raw",
+    "fused_time_net",
+    "fused_trunk",
+    "sample_pdf_pallas",
+    "supports_config",
+    "supports_time_net",
+]

@@ -472,6 +472,9 @@ def _tile_spec(block, lanes=128):
 
 
 def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
+    # fp32 (HIGHEST-precision) matmuls need extra multi-pass scratch.
+    if flat[0].dtype == jnp.float32:
+        block = min(block, 1024)
     return pl.pallas_call(
         functools.partial(kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
         out_shape=jax.ShapeDtypeStruct((P, 128), jnp.float32),
