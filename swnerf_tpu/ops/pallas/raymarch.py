@@ -168,9 +168,11 @@ def _embed_bwd(x8, g, e0, s, phase, mask):
 
 
 def _prec(a):
-    # f32 compute dtype means TRUE fp32 MXU passes (parity mode); bf16
-    # operands use the native single-pass MXU path.
-    return jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    # f32 compute dtype = parity mode: bf16_3x passes (Precision.HIGH) —
+    # on the MXU even "HIGHEST" is a bf16_6x decomposition; 3x is the
+    # standard fp32-equivalent trade and fits the VMEM scratch budget.
+    # bf16 operands use the native single-pass MXU path.
+    return jax.lax.Precision.HIGH if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
 def _mm(a, b):
