@@ -168,11 +168,10 @@ def _embed_bwd(x8, g, e0, s, phase, mask):
 
 
 def _prec(a):
-    # f32 compute dtype = parity mode: bf16_3x passes (Precision.HIGH) —
-    # on the MXU even "HIGHEST" is a bf16_6x decomposition; 3x is the
-    # standard fp32-equivalent trade and fits the VMEM scratch budget.
-    # bf16 operands use the native single-pass MXU path.
-    return jax.lax.Precision.HIGH if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    # f32 compute dtype = parity mode: full-precision MXU passes (Mosaic
+    # supports only DEFAULT/HIGHEST; HIGHEST needs multi-pass scratch, hence
+    # the smaller f32 tiles below). bf16 = native single-pass MXU.
+    return jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
 def _mm(a, b):
@@ -457,10 +456,11 @@ def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int):
 
 def _bwd_block(dtype, block: int, raw: bool = False) -> int:
     # Backward holds all D activations + grad accumulators in VMEM; the raw
-    # variant adds the in-kernel encoder recompute temporaries.
-    if raw:
-        return min(block, 256 if dtype == jnp.float32 else 512)
-    return min(block, 512 if dtype == jnp.float32 else 1024)
+    # variant adds the in-kernel encoder recompute temporaries; fp32 parity
+    # mode additionally needs HIGHEST-precision multi-pass matmul scratch.
+    if dtype == jnp.float32:
+        return min(block, 128)
+    return min(block, 512 if raw else 1024)
 
 
 def _const_specs(arrs):
