@@ -165,6 +165,7 @@ def _use_fused(cfg: DNeRFConfig) -> bool:
         supports_config(cfg)
         and jax.devices()[0].platform == "tpu"
         and os.environ.get("SWNERF_FUSED", "1") != "0"
+        and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
     )
 
 

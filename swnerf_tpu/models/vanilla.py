@@ -148,6 +148,9 @@ def make_vanilla_field(
             supports_config(cfg)
             and jax.devices()[0].platform == "tpu"
             and os.environ.get("SWNERF_FUSED", "1") != "0"
+            # The fused kernels win in bf16; fp32 parity runs are faster on
+            # the XLA path (PERFORMANCE.md), so f32 fused is explicit-only.
+            and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
         )
 
     def init(rng: jax.Array):
