@@ -98,8 +98,10 @@ def _project(p_world, c2w, intr):
 
 
 def _looking_cameras(n=6):
-    """Cameras on a circle at z=1 looking toward the origin-ish (+z forward
-    toward the marker plane at z=0... here: cameras above plane looking down)."""
+    """CV-convention cameras (x right, y DOWN, z forward; det(R)=+1) on a
+    circle above the marker plane, looking at the marker center — y-down
+    matters: a y-up parameterization renders a mirrored marker, which ArUco
+    dictionaries cannot match."""
     cams = []
     for k in range(n):
         ang = 2 * np.pi * k / n
@@ -111,7 +113,8 @@ def _looking_cameras(n=6):
         right /= np.linalg.norm(right)
         up2 = np.cross(fwd, right)
         c2w = np.eye(4)
-        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, pos
+        # rotate 180deg about fwd: (-right, -up) keeps det +1 with y down.
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = -right, -up2, fwd, pos
         cams.append(c2w)
     return cams
 
@@ -181,6 +184,62 @@ class TestMetricScale:
         info = detect_marker_corners(str(tmp_path), frames)
         assert len(info) == 1 and info[0]["id"] == 42
         assert info[0]["corners"].shape == (4, 2)
+
+    def test_full_scale_solve_from_rendered_views(self, tmp_path):
+        """End-to-end cal_scale: render the marker into synthetic pinhole
+        views (homography warp), detect, triangulate, recover the metric
+        scale of a 0.2-unit marker."""
+        import cv2
+        import json
+
+        from swnerf_tpu.pipelines.transform_mesh import cal_scale
+
+        d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_1000)
+        msize = 240
+        marker = cv2.aruco.generateImageMarker(d, 7, msize)
+        # Bitmap corners (TL, TR, BR, BL; bitmap y grows DOWN) pair with
+        # world corners of DECREASING y so the physical marker isn't
+        # mirrored; world square of edge 0.2 on the z=0 plane.
+        world = np.array(
+            [[0.0, 0.2, 0.0], [0.2, 0.2, 0.0], [0.2, 0.0, 0.0], [0.0, 0.0, 0.0]]
+        )
+        src_px = np.array(
+            [[0, 0], [msize - 1, 0], [msize - 1, msize - 1], [0, msize - 1]],
+            np.float32,
+        )
+        fl_x, fl_y, cx, cy = 500.0, 500.0, 320.0, 240.0
+
+        os.makedirs(tmp_path / "images_ori", exist_ok=True)
+        frames = []
+        for k, c2w in enumerate(_looking_cameras(8)):
+            dst = np.stack(
+                [_project(p, c2w, (fl_x, fl_y, cx, cy)) for p in world]
+            ).astype(np.float32)
+            Hm, _ = cv2.findHomography(src_px, dst)
+            canvas = cv2.warpPerspective(
+                marker, Hm, (640, 480), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=255,
+            )
+            cv2.imwrite(str(tmp_path / "images_ori" / f"f{k}.png"), canvas)
+            frames.append(
+                {"file_path": f"images/f{k}.png", "transform_matrix": c2w.tolist()}
+            )
+
+        meta = {
+            "fl_x": fl_x, "fl_y": fl_y, "cx": cx, "cy": cy,
+            "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+            "frames": frames,
+        }
+        with open(tmp_path / "transforms.json", "w") as f:
+            json.dump(meta, f)
+
+        scale, transform = cal_scale(str(tmp_path), real_length=0.05, pose_convention="c2w")
+        # marker edge 0.2 world units, real 5 cm -> scale 0.25
+        assert scale == pytest.approx(0.25, rel=0.02)
+        # alignment rotates the (z=0 plane) normal onto z: rotation ~identity
+        # up to sign; it must be orthonormal.
+        R = transform[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
 
     def test_transform_mesh_applies_scale(self, tmp_path):
         from swnerf_tpu.pipelines.transform_mesh import transform_mesh
