@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import imageio.v2 as imageio
 import numpy as np
 

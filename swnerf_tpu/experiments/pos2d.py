@@ -22,8 +22,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

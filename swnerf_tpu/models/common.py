@@ -16,7 +16,7 @@ necessarily differ between torch and JAX PRNGs):
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

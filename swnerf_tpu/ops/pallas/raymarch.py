@@ -33,7 +33,6 @@ Covers the flagship architecture (use_viewdirs, one skip, netwidth % 128 ==
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax

@@ -15,8 +15,6 @@ deliberate, per SURVEY.md §5.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,7 +13,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -22,14 +22,13 @@ import jax.numpy as jnp
 from swnerf_tpu.models.common import Field
 from swnerf_tpu.ops.rays import get_rays_at, get_rays_np
 from swnerf_tpu.render.core import (
-    Rays,
     RenderConfig,
     build_rays,
     make_rays_from_camera,
     render_image,
 )
 from swnerf_tpu.utils.media import write_png, write_video
-from swnerf_tpu.utils.metrics import calculate_metrics, to8b
+from swnerf_tpu.utils.metrics import calculate_metrics
 
 
 @dataclasses.dataclass

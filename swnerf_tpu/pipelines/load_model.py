@@ -10,8 +10,6 @@ extractor (load_model.py:56-74).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
-
 import jax.numpy as jnp
 
 from swnerf_tpu.utils.config import config_parser

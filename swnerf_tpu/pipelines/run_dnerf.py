@@ -22,8 +22,6 @@ Notes vs the reference (recorded deltas):
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ SWNERF_MAX_ITERS / SWNERF_DISABLE_JIT_CACHE env vars exist for testing only.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ falling back to an animated GIF if that is unavailable.
 from __future__ import annotations
 
 import os
-from typing import List
-
 import numpy as np
 
 from swnerf_tpu.utils.metrics import to8b
