@@ -454,12 +454,14 @@ def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int):
 
 
 def _bwd_block(dtype, block: int, raw: bool = False) -> int:
-    # Backward holds all D activations + grad accumulators in VMEM; the raw
-    # variant adds the in-kernel encoder recompute temporaries; fp32 parity
-    # mode additionally needs HIGHEST-precision multi-pass matmul scratch.
+    # Backward holds all D activations + grad accumulators in VMEM; fp32
+    # parity mode additionally needs HIGHEST-precision multi-pass scratch.
+    # bf16 at 1024 points measured VMEM-MARGINAL (17.3M vs the 16M budget in
+    # some program contexts) while 512 -> 1024 is only a few percent faster,
+    # so 512 is the safe choice.
     if dtype == jnp.float32:
         return min(block, 128)
-    return min(block, 512 if raw else 1024)
+    return min(block, 512)
 
 
 def _const_specs(arrs):
