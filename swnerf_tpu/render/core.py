@@ -259,6 +259,31 @@ def _pad_rays(rays: Rays, multiple: int):
     return rays, n
 
 
+# jit cache for render_image, keyed by the static configuration; shape
+# changes re-specialize inside the cached jit as usual.
+_RENDER_IMAGE_JITS: Dict[Any, Any] = {}
+
+
+def _render_image_fn(field: Field, cfg: RenderConfig, chunk: int, has_vd: bool, has_t: bool):
+    key = (field, cfg, chunk, has_vd, has_t)
+    fn = _RENDER_IMAGE_JITS.get(key)
+    if fn is not None:
+        return fn
+
+    def run(params, fine_params, xs):
+        def body(tile_arrays):
+            o, d, vd, nr, fr, tm = tile_arrays
+            tile = Rays(o, d, vd if has_vd else None, nr, fr, tm if has_t else None)
+            out = render_rays(field, params, tile, cfg, rng=None, fine_params=fine_params)
+            return out["rgb"], out["disp"], out["acc"], out["depth"]
+
+        return jax.lax.map(body, xs)
+
+    fn = jax.jit(run)
+    _RENDER_IMAGE_JITS[key] = fn
+    return fn
+
+
 def render_image(
     field: Field,
     params,
@@ -268,9 +293,12 @@ def render_image(
     fine_params=None,
     rng: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Chunked whole-image render: ``lax.map`` over static ray tiles replaces
-    the reference's Python batchify_rays loop (run.py:90-102). Deterministic
-    by default (eval); returns rgb/disp/acc/depth flattened to [N_rays,...].
+    """Chunked whole-image render: ONE cached-jit program of ``lax.map`` over
+    static ray tiles replaces the reference's Python batchify_rays loop
+    (run.py:90-102) — compiled once per (field, cfg, chunk, shape), so a
+    render path over many poses dispatches one executable per pose.
+    Deterministic (eval mode); returns rgb/disp/acc/depth flattened to
+    [N_rays, ...].
     """
     cfg = cfg.eval_mode() if rng is None else cfg
     padded, n = _pad_rays(rays, chunk)
@@ -286,12 +314,6 @@ def render_image(
     has_vd = tiles.viewdirs is not None
     has_t = tiles.times is not None
 
-    def body(tile_arrays):
-        o, d, vd, nr, fr, tm = tile_arrays
-        tile = Rays(o, d, vd if has_vd else None, nr, fr, tm if has_t else None)
-        out = render_rays(field, params, tile, cfg, rng=None, fine_params=fine_params)
-        return out["rgb"], out["disp"], out["acc"], out["depth"]
-
     zeros = jnp.zeros((n_chunks, chunk, 0), padded.origins.dtype)
     xs = (
         tiles.origins,
@@ -301,7 +323,8 @@ def render_image(
         tiles.far,
         tiles.times if has_t else zeros,
     )
-    rgb, disp, acc, depth = jax.lax.map(body, xs)
+    fn = _render_image_fn(field, cfg, chunk, has_vd, has_t)
+    rgb, disp, acc, depth = fn(params, fine_params, xs)
     return {
         "rgb": rgb.reshape(-1, 3)[:n],
         "disp": disp.reshape(-1)[:n],
