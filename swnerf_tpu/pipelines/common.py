@@ -241,7 +241,12 @@ class ImageSampler:
             max_sample = max(int(skip_factor), 3)
             img_i = int(self._rng.choice(i_train[:max_sample]))
         coords = self._crop_coords if step < self.precrop_iters else self._full_coords
-        sel = self._rng.choice(coords.shape[0], size=self.n_rand, replace=False)
+        # When the (pre-crop) region holds fewer pixels than N_rand — e.g.
+        # the coarsest MultiRes level of a small image — fall back to
+        # sampling with replacement (the reference crashes here,
+        # run.py:676); batch shape must stay static for jit.
+        replace = coords.shape[0] < self.n_rand
+        sel = self._rng.choice(coords.shape[0], size=self.n_rand, replace=replace)
         return img_i, coords[sel]
 
 
