@@ -269,6 +269,8 @@ def _render_image_fn(field: Field, cfg: RenderConfig, chunk: int, has_vd: bool, 
     fn = _RENDER_IMAGE_JITS.get(key)
     if fn is not None:
         return fn
+    if len(_RENDER_IMAGE_JITS) > 64:  # bound growth if fields are rebuilt per call
+        _RENDER_IMAGE_JITS.clear()
 
     def run(params, fine_params, xs):
         def body(tile_arrays):
