@@ -20,6 +20,7 @@ onto one fused elementwise reduction; the fused Pallas variant lives in
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -97,6 +98,13 @@ def sample_pdf(
     Returns:
       samples: [N, n_samples].
     """
+    if os.environ.get("SWNERF_PALLAS_SAMPLE_PDF") == "1":
+        # Route through the fused Pallas kernel (ops/pallas/sample_pdf.py);
+        # identical semantics, selected by env for A/B measurement.
+        from swnerf_tpu.ops.pallas.sample_pdf import sample_pdf_pallas
+
+        return sample_pdf_pallas(bins, weights, n_samples, rng=rng, det=det, u=u)
+
     weights = weights + 1e-5  # prevent nans (reference ray.py:111)
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
     cdf = jnp.cumsum(pdf, -1)
