@@ -86,7 +86,12 @@ def sample_pdf_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.sampling.sample_pdf on TPU. bins [N, M],
-    weights [N, M-1] -> samples [N, n_samples]."""
+    weights [N, M-1] -> samples [N, n_samples].
+
+    Non-differentiable by declaration (zero tangents): every consumer
+    detaches the sampled positions anyway (reference z_samples.detach(),
+    run.py:398), and pallas_call has no autodiff rule.
+    """
     N, M = bins.shape
     if u is None:
         if det:
@@ -95,7 +100,12 @@ def sample_pdf_pallas(
             )
         else:
             u = jax.random.uniform(rng, (N, n_samples), dtype=bins.dtype)
+    return _sample_pdf_core(bins, weights, u, n_samples, block_rays, interpret)
 
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5))
+def _sample_pdf_core(bins, weights, u, n_samples, block_rays, interpret):
+    N, M = bins.shape
     Mp = _round_up(M, 128)
     Sp = _round_up(n_samples, 128)
     Np = _round_up(N, block_rays)
@@ -119,3 +129,9 @@ def sample_pdf_pallas(
         interpret=interpret,
     )(bins_p, w_p, u_p)
     return out[:N, :n_samples]
+
+
+@_sample_pdf_core.defjvp
+def _sample_pdf_core_jvp(n_samples, block_rays, interpret, primals, tangents):
+    out = _sample_pdf_core(*primals, n_samples, block_rays, interpret)
+    return out, jnp.zeros_like(out)
