@@ -98,9 +98,13 @@ def sample_pdf(
     Returns:
       samples: [N, n_samples].
     """
-    if os.environ.get("SWNERF_PALLAS_SAMPLE_PDF") == "1":
-        # Route through the fused Pallas kernel (ops/pallas/sample_pdf.py);
-        # identical semantics, selected by env for A/B measurement.
+    flag = os.environ.get("SWNERF_PALLAS_SAMPLE_PDF")
+    if flag == "1" or (flag is None and jax.devices()[0].platform == "tpu"):
+        # Fused Pallas kernel (ops/pallas/sample_pdf.py): identical sample
+        # values, but declared non-differentiable (every consumer detaches
+        # the positions — reference run.py:398) — which also spares XLA from
+        # linearizing the searchsorted machinery: measured 58 -> 86 it/s on
+        # the lego train step. SWNERF_PALLAS_SAMPLE_PDF=0 restores jnp.
         from swnerf_tpu.ops.pallas.sample_pdf import sample_pdf_pallas
 
         return sample_pdf_pallas(bins, weights, n_samples, rng=rng, det=det, u=u)
