@@ -18,23 +18,27 @@ from swnerf_tpu.ops.volume import composite
 from swnerf_tpu.render.core import Rays, make_rays_from_camera
 
 
-def gt_sphere_raw(pts: jnp.ndarray) -> jnp.ndarray:
-    """Analytic raw (rgb logits, sigma) for a soft colored sphere at the
-    origin with radius 1: density falls off outside the surface, color varies
-    smoothly with position."""
-    r = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+def gt_sphere_raw(pts: jnp.ndarray, time: float = 0.0) -> jnp.ndarray:
+    """Analytic raw (rgb logits, sigma) for a soft colored sphere with
+    radius 1: density falls off outside the surface, color varies smoothly
+    with position. ``time`` translates the sphere along +x (a deterministic
+    dynamic scene for the D-NeRF family)."""
+    center = jnp.asarray([0.6 * time, 0.0, 0.0], pts.dtype)
+    r = jnp.linalg.norm(pts - center, axis=-1, keepdims=True)
     sigma = 20.0 * jax.nn.sigmoid(20.0 * (1.0 - r))
     # Logit-space colors in ~[-2, 2] so sigmoid gives mid-range rgb.
-    rgb_logits = 2.0 * jnp.sin(3.0 * pts)
+    rgb_logits = 2.0 * jnp.sin(3.0 * (pts - center))
     return jnp.concatenate([rgb_logits, sigma], -1)
 
 
-def render_gt(rays: Rays, n_samples: int = 64, white_bkgd: bool = True) -> jnp.ndarray:
+def render_gt(
+    rays: Rays, n_samples: int = 64, white_bkgd: bool = True, time: float = 0.0
+) -> jnp.ndarray:
     """Ground-truth rgb for a ray batch via dense deterministic sampling."""
     t = jnp.linspace(0.0, 1.0, n_samples)
     z = rays.near[:, None] * (1 - t) + rays.far[:, None] * t
     pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
-    raw = gt_sphere_raw(pts)
+    raw = gt_sphere_raw(pts, time)
     return composite(raw, z, rays.directions, white_bkgd=white_bkgd).rgb
 
 
@@ -55,6 +59,62 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarra
         [[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.float32
     )
     return flip @ c2w
+
+
+def write_blender_scene(
+    root: str,
+    n_train: int = 8,
+    n_val: int = 2,
+    n_test: int = 2,
+    size: int = 32,
+    dynamic: bool = False,
+    n_samples: int = 128,
+    seed: int = 0,
+) -> None:
+    """Write a RENDERABLE blender-format dataset to disk: the analytic
+    emissive sphere imaged from spherical poses, as transforms_{split}.json +
+    PNGs (the exact schema of dataloader/load_blender.py:82-150 and, with
+    ``dynamic``, load_blender_dnerf.py:75-151 incl. per-frame ``time``).
+
+    Unlike random-noise fixtures this scene is learnable, so it drives true
+    end-to-end validations: multichip dryruns of the real CLI trainers and
+    side-by-side PSNR-parity runs against the PyTorch reference.
+    """
+    import json
+    import os
+
+    import imageio.v2 as imageio
+
+    os.makedirs(root, exist_ok=True)
+    H = W = size
+    focal = 0.9 * W
+    camera_angle_x = float(2.0 * np.arctan(0.5 * W / focal))
+    rng = np.random.default_rng(seed)
+
+    splits = (("train", n_train), ("val", n_val), ("test", n_test))
+    for split, n in splits:
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            theta = float(rng.uniform(-180.0, 180.0))
+            phi = float(rng.uniform(-60.0, -10.0))
+            c2w = pose_spherical(theta, phi, 4.0)
+            t = i / max(n - 1, 1) if dynamic else 0.0
+            rays = make_rays_from_camera(H, W, float(focal), c2w, near=2.0, far=6.0)
+            rgb = np.asarray(render_gt(rays, n_samples, time=t)).reshape(H, W, 3)
+            rgba = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
+            rel = f"./{split}/r_{i}"
+            imageio.imwrite(
+                os.path.join(root, rel + ".png"),
+                (np.clip(rgba, 0, 1) * 255).astype(np.uint8),
+            )
+            frame = {"file_path": rel, "transform_matrix": c2w.tolist()}
+            if dynamic:
+                frame["time"] = t
+            frames.append(frame)
+        meta = {"camera_angle_x": camera_angle_x, "frames": frames}
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def make_scene(

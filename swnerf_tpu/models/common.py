@@ -71,14 +71,19 @@ def set_matmul_precision(p) -> None:
     _MATMUL_PRECISION = p
 
 
-def dense(p, x: jnp.ndarray) -> jnp.ndarray:
-    """``x @ w + b`` with fp32 accumulation at the configured precision."""
+def dense(p, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """``x @ w + b`` with fp32 accumulation.
+
+    ``precision`` overrides the module default for one call — fields thread
+    their config's ``precision`` here so per-pipeline settings (e.g.
+    ``--do_half_precision``) never leak across models composed in-process.
+    """
     return (
         jnp.dot(
             x,
             p["w"],
             preferred_element_type=jnp.float32,
-            precision=_MATMUL_PRECISION,
+            precision=_MATMUL_PRECISION if precision is None else precision,
         )
         + p["b"]
     )

@@ -53,6 +53,7 @@ class DNeRFConfig:
     use_viewdirs: bool = True
     output_ch: int = 4
     zero_canonical: bool = True
+    precision: Optional[jax.lax.Precision] = None  # per-field matmul override
 
     @property
     def nf_pts(self) -> int:
@@ -111,20 +112,21 @@ def init_nerf_original_params(rng: jax.Array, cfg: DNeRFConfig):
 
 def apply_nerf_original(params, cfg: DNeRFConfig, pts_emb, views_emb):
     """Canonical trunk on embedded inputs -> raw [..., 4]."""
+    prec = cfg.precision
     h = pts_emb
     for i, lyr in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(dense(lyr, h))
+        h = jax.nn.relu(dense(lyr, h, prec))
         if i in cfg.skips:
             h = jnp.concatenate([pts_emb, h], -1)
     if cfg.use_viewdirs:
-        alpha = dense(params["alpha_linear"], h)
-        feature = dense(params["feature_linear"], h)
+        alpha = dense(params["alpha_linear"], h, prec)
+        feature = dense(params["feature_linear"], h, prec)
         h = jnp.concatenate([feature, views_emb], -1)
         for lyr in params["views_linears"]:
-            h = jax.nn.relu(dense(lyr, h))
-        rgb = dense(params["rgb_linear"], h)
+            h = jax.nn.relu(dense(lyr, h, prec))
+        rgb = dense(params["rgb_linear"], h, prec)
         return jnp.concatenate([rgb, alpha], -1)
-    return dense(params["output_linear"], h)
+    return dense(params["output_linear"], h, prec)
 
 
 def init_time_net_params(rng: jax.Array, cfg: DNeRFConfig):
@@ -144,12 +146,13 @@ def init_time_net_params(rng: jax.Array, cfg: DNeRFConfig):
 
 
 def apply_time_net(params, cfg: DNeRFConfig, pts_emb, time_emb):
+    prec = cfg.precision
     h = jnp.concatenate([pts_emb, time_emb], -1)
     for i, lyr in enumerate(params["layers"]):
-        h = jax.nn.relu(dense(lyr, h))
+        h = jax.nn.relu(dense(lyr, h, prec))
         if i in cfg.skips:
             h = jnp.concatenate([pts_emb, h], -1)
-    return dense(params["out"], h)
+    return dense(params["out"], h, prec)
 
 
 def _use_fused(cfg: DNeRFConfig) -> bool:

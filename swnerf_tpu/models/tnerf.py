@@ -18,6 +18,7 @@ formulas.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ class TNeRFConfig:
     multires: int = 10
     multires_views: int = 4
     i_embed: int = 0
+    precision: Optional[jax.lax.Precision] = None  # per-field matmul override
 
     @property
     def nf_pts(self) -> int:
@@ -81,17 +83,18 @@ def init_tnerf_params(rng: jax.Array, cfg: TNeRFConfig):
 
 
 def apply_tnerf(params, cfg: TNeRFConfig, pts_emb, views_emb, time_emb):
+    prec = cfg.precision
     inp = jnp.concatenate([pts_emb, time_emb], -1)
     x = inp
     for i, lyr in enumerate(params["layers"]):
-        x = jax.nn.elu(dense(lyr, x))
+        x = jax.nn.elu(dense(lyr, x, prec))
         if (i % cfg.skip_layer == 0) and (i > 0):
             x = jnp.concatenate([inp, x], -1)
-    sigma = dense(params["density"], x)
-    x = dense(params["feature"], x)
+    sigma = dense(params["density"], x, prec)
+    x = dense(params["feature"], x, prec)
     x = jnp.concatenate([x, views_emb], -1)
-    x = jax.nn.elu(dense(params["layer_9"], x))
-    rgb = jax.nn.relu(dense(params["color"], x))
+    x = jax.nn.elu(dense(params["layer_9"], x, prec))
+    rgb = jax.nn.relu(dense(params["color"], x, prec))
     return jnp.concatenate([rgb, sigma], -1)
 
 

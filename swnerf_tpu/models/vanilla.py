@@ -37,6 +37,9 @@ class VanillaNeRFConfig:
     i_embed: int = 0  # 0: fourier encoding, -1: identity
     use_viewdirs: bool = True
     output_ch: int = 4  # only used when use_viewdirs=False
+    # Per-field matmul precision override (None -> module default); lets a
+    # pipeline opt into bf16 inputs without mutating global state.
+    precision: Optional[jax.lax.Precision] = None
 
     @property
     def nf_pts(self) -> int:
@@ -81,21 +84,22 @@ def apply_vanilla_trunk(params, cfg: VanillaNeRFConfig, pts_emb, views_emb):
     pts_emb: [..., input_ch]; views_emb: [..., input_ch_views] or None.
     Returns raw [..., 4] (or [..., output_ch] without viewdirs).
     """
+    prec = cfg.precision
     h = pts_emb
     for i, lyr in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(dense(lyr, h))
+        h = jax.nn.relu(dense(lyr, h, prec))
         if i in cfg.skips:
             h = jnp.concatenate([pts_emb, h], -1)
 
     if cfg.use_viewdirs:
-        alpha = dense(params["alpha_linear"], h)
-        feature = dense(params["feature_linear"], h)
+        alpha = dense(params["alpha_linear"], h, prec)
+        feature = dense(params["feature_linear"], h, prec)
         h = jnp.concatenate([feature, views_emb], -1)
         for lyr in params["views_linears"]:
-            h = jax.nn.relu(dense(lyr, h))
-        rgb = dense(params["rgb_linear"], h)
+            h = jax.nn.relu(dense(lyr, h, prec))
+        rgb = dense(params["rgb_linear"], h, prec)
         return jnp.concatenate([rgb, alpha], -1)
-    return dense(params["output_linear"], h)
+    return dense(params["output_linear"], h, prec)
 
 
 def load_keras_weights(params, cfg: VanillaNeRFConfig, weights):

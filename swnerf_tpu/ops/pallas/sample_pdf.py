@@ -47,7 +47,14 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, M: int, tri_ref=None):
         jax.lax.broadcasted_iota(jnp.int32, (Mp, Mp), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (Mp, Mp), 1)
     ).astype(jnp.float32)
-    cdf = jnp.dot(pdf, tri, preferred_element_type=jnp.float32)  # [R, Mp]
+    # HIGHEST keeps the CDF accumulation in true fp32 on the MXU (DEFAULT
+    # would round the fp32 pdf to bf16, shifting CDF values ~1e-3 and
+    # breaking bit-for-bit parity with ops.sampling.sample_pdf); cheap at
+    # Mp=128.
+    cdf = jnp.dot(
+        pdf, tri, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [R, Mp]
 
     u = u_ref[:]  # [R, Sp]
 

@@ -135,7 +135,13 @@ def sample_pdf(
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+    samples = bins_below + t * (bins_above - bins_below)
+    # Uniformly non-differentiable on BOTH paths: the Pallas kernel has zero
+    # tangents by declaration, and every in-repo consumer detaches the
+    # positions anyway (reference z_samples.detach(), run.py:398). Stopping
+    # here keeps external callers from silently getting gradients only off
+    # TPU.
+    return jax.lax.stop_gradient(samples)
 
 
 def merge_z_vals(z_vals: jnp.ndarray, z_samples: jnp.ndarray) -> jnp.ndarray:

@@ -38,11 +38,76 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(mesh: Mesh, tree):
+    """Device_put a pytree fully replicated over the mesh (one up-front
+    broadcast so per-step jit calls don't re-transfer committed arrays).
+    None leaves pass through."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Device_put a (rays, target, ...) pytree sharded on the leading axis.
     None leaves pass through."""
     sh = rays_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel_mesh(batch_size: int = 0, quiet: bool = False):
+    """The CLI trainers' mesh policy: a 1-D ``rays`` mesh over all devices
+    when more than one is visible (SWNERF_DATA_PARALLEL=0 opts out), else
+    None (plain single-device jit).
+
+    ``batch_size`` is the per-step ray count; when it does not divide evenly
+    we still shard (GSPMD pads internally) but say so once.
+    """
+    import os
+
+    if os.environ.get("SWNERF_DATA_PARALLEL", "1") == "0":
+        return None
+    n = jax.device_count()
+    limit = int(os.environ.get("SWNERF_MESH_DEVICES", "0") or 0)
+    if limit:
+        n = min(n, limit)
+    if batch_size:
+        # in_shardings needs the batch axis divisible by the mesh size; use
+        # the largest device count that divides it (e.g. N_rand=500 on 8
+        # chips -> a 5-chip mesh rather than none at all).
+        while n > 1 and batch_size % n:
+            n -= 1
+    if n <= 1:
+        return None
+    mesh = make_mesh(jax.devices()[:n])
+    if not quiet:
+        msg = f"Data parallelism: sharding rays over {n} devices"
+        if n < jax.device_count():
+            msg += (
+                f" (largest divisor of N_rand={batch_size} within "
+                f"{jax.device_count()} available)"
+            )
+        print(msg)
+    return mesh
+
+
+def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnums=(0,)):
+    """Jit an arbitrary CLI train step for the mesh: the listed argument
+    positions are sharded on their leading axis over ``rays`` (every leaf of
+    a pytree argument), everything else — params, optimizer state, image
+    stacks, scalars, RNG keys — is replicated; all outputs replicated.
+
+    This is how the four trainers (run_nerf/run_dnerf/run_tnerf/
+    run_multires) get data parallelism: the per-step pixel/index batch is
+    the only sharded input, XLA turns the mean-loss gradient into a ``psum``
+    over the rays axis, and the weight update happens replicated on every
+    chip. The reference has no distribution at all (single cuda:0,
+    SURVEY.md §2.7) — this is the greenfield TPU capability.
+    """
+    rep = replicated(mesh)
+    shd = rays_sharding(mesh)
+    in_sh = tuple(shd if i in set(sharded_argnums) else rep for i in range(n_args))
+    return jax.jit(
+        step, in_shardings=in_sh, out_shardings=rep, donate_argnums=donate_argnums
+    )
 
 
 def shard_train_step(train_step, mesh: Mesh, donate_state: bool = True):

@@ -250,8 +250,13 @@ class ImageSampler:
         return img_i, coords[sel]
 
 
-def make_pool_step(train_step, cfg: RenderConfig, scene: Scene):
-    """Wrap a train step to consume (pool, idx): unpack o/d/rgb, build Rays."""
+def make_pool_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+    """Wrap a train step to consume (pool, idx): unpack o/d/rgb, build Rays.
+
+    With ``mesh``, the per-step index slice is sharded over the ``rays``
+    axis (pool and params replicated): each chip gathers and renders its
+    share of the batch and XLA psums the gradients (greenfield data
+    parallelism, SURVEY.md §2.7)."""
 
     def step(state, pool, idx, rng, times=None):
         batch = pool[idx]  # [N,3,3]
@@ -270,12 +275,19 @@ def make_pool_step(train_step, cfg: RenderConfig, scene: Scene):
         )
         return train_step(state, rays, target, rng)
 
+    if mesh is not None:
+        from swnerf_tpu.parallel import shard_cli_step
+
+        return shard_cli_step(step, mesh, n_args=4, sharded_argnums=(2,))
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_image_step(train_step, cfg: RenderConfig, scene: Scene):
+def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     """Wrap a train step to consume (images, poses, img_i, pixels): generate
-    rays only at the chosen pixels, gather targets, build Rays."""
+    rays only at the chosen pixels, gather targets, build Rays.
+
+    With ``mesh``, the pixel-coordinate batch is sharded over ``rays`` and
+    everything else replicated (see make_pool_step)."""
     K = scene.K
     H, W = scene.H, scene.W
 
@@ -300,6 +312,10 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene):
         )
         return train_step(state, rays, target, rng)
 
+    if mesh is not None:
+        from swnerf_tpu.parallel import shard_cli_step
+
+        return shard_cli_step(step, mesh, n_args=6, sharded_argnums=(4,))
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
@@ -320,9 +336,12 @@ def render_path(
     render_factor: int = 0,
     times: Optional[np.ndarray] = None,
     save_also_gt: Optional[np.ndarray] = None,
+    fine_field=None,
+    mesh=None,
 ):
     """Render a pose path (reference render_path run.py:172-219). Returns
-    (rgbs [T,H,W,3], disps [T,H,W])."""
+    (rgbs [T,H,W,3], disps [T,H,W]). With ``mesh``, each image's ray tiles
+    shard over the devices (see render_image)."""
     H, W, focal = scene.H, scene.W, scene.focal
     K = scene.K
     if render_factor != 0:
@@ -340,7 +359,10 @@ def render_path(
             H, W, K, c2w[:3, :4], scene.near, scene.far,
             use_viewdirs=ecfg.use_viewdirs, ndc=scene.ndc, time=t,
         )
-        out = render_image(field, params, rays, ecfg, chunk=chunk, fine_params=fine_params)
+        out = render_image(
+            field, params, rays, ecfg, chunk=chunk, fine_params=fine_params,
+            fine_field=fine_field, mesh=mesh,
+        )
         rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
         disp = np.asarray(out["disp"]).reshape(H, W)
         rgbs.append(rgb)
@@ -355,7 +377,8 @@ def render_path(
 
 
 def render_only(
-    field, params, fine_params, scene: Scene, cfg: RenderConfig, args, start: int
+    field, params, fine_params, scene: Scene, cfg: RenderConfig, args, start: int,
+    fine_field=None, mesh=None,
 ) -> str:
     """The --render_only path (run.py:557-596): render test poses or the
     spiral path, write video + PNGs, and metrics.json when GT is known."""
@@ -367,7 +390,7 @@ def render_only(
     rgbs, _ = render_path(
         field, params, fine_params, scene.render_poses, scene, cfg,
         chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
-        times=scene.render_times,
+        times=scene.render_times, fine_field=fine_field, mesh=mesh,
     )
     write_video(os.path.join(savedir, "video.mp4"), rgbs)
 

@@ -54,6 +54,10 @@ from swnerf_tpu.utils.media import write_video
 def create_dnerf(args):
     """Field + params + render config (reference create_nerf,
     run_dnerf.py:238-351), with .tar auto-resume."""
+    # --do_half_precision (reference apex AMP O1, run_dnerf.py:290-296) maps
+    # to bf16 matmul inputs, scoped to THIS pipeline's fields via the config
+    # (no global state mutated — safe under in-process composition).
+    half_prec = jax.lax.Precision.DEFAULT if args.do_half_precision else None
     mcfg = DNeRFConfig(
         netdepth=args.netdepth,
         netwidth=args.netwidth,
@@ -64,6 +68,7 @@ def create_dnerf(args):
         use_viewdirs=args.use_viewdirs,
         output_ch=5 if args.N_importance > 0 else 4,
         zero_canonical=not args.not_zero_canonical,
+        precision=half_prec,
     )
     kind = args.nerf_type
     if kind == "original":
@@ -76,6 +81,7 @@ def create_dnerf(args):
     key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
     k1, k2 = jax.random.split(key)
     params = {"coarse": field.init(k1), "fine": None}
+    ffield = None
     if args.use_two_models_for_fine:
         fcfg = DNeRFConfig(
             netdepth=args.netdepth_fine,
@@ -87,14 +93,10 @@ def create_dnerf(args):
             use_viewdirs=args.use_viewdirs,
             output_ch=5 if args.N_importance > 0 else 4,
             zero_canonical=not args.not_zero_canonical,
+            precision=half_prec,
         )
         ffield = make_dnerf_field(fcfg) if kind == "direct_temporal" else make_nerf_original_field(fcfg)
         params["fine"] = ffield.init(k2)
-
-    if args.do_half_precision:
-        from swnerf_tpu.models import common as mcommon
-
-        mcommon.set_matmul_precision(jax.lax.Precision.DEFAULT)
 
     rcfg = RenderConfig(
         n_samples=args.N_samples,
@@ -126,7 +128,7 @@ def create_dnerf(args):
         opt_state, _ = torch_dict_to_adam(ckpt["optimizer_state_dict"], params, groups, state.opt_state)
         state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
 
-    return field, kind, rcfg, optimizer, state, start
+    return field, ffield, kind, rcfg, optimizer, state, start
 
 
 def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
@@ -146,7 +148,10 @@ def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
     print("Saved checkpoints at", path)
 
 
-def make_dnerf_step(field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float):
+def make_dnerf_step(
+    field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float,
+    fine_field=None, mesh=None,
+):
     """Jitted step consuming (images, poses, times, img_i, pixels,
     neighbor_time, rng). The TV branch re-renders the same rays at
     ``neighbor_time`` with the first render's (stopped) z_vals and penalizes
@@ -154,7 +159,10 @@ def make_dnerf_step(field, cfg: RenderConfig, optimizer, scene, add_tv_loss: boo
     K, H, W = scene.K, scene.H, scene.W
 
     def loss_fn(params, rays: Rays, target, neighbor_time, rng):
-        out = render_rays(field, params["coarse"], rays, cfg, rng=rng, fine_params=params.get("fine"))
+        out = render_rays(
+            field, params["coarse"], rays, cfg, rng=rng,
+            fine_params=params.get("fine"), fine_field=fine_field,
+        )
         img_loss = mse(out["rgb"], target)
         loss = img_loss
         metrics = {"loss": img_loss, "psnr": mse_to_psnr(img_loss)}
@@ -164,7 +172,7 @@ def make_dnerf_step(field, cfg: RenderConfig, optimizer, scene, add_tv_loss: boo
             rays_n = rays._replace(times=jnp.full((n, 1), neighbor_time, jnp.float32))
             out_n = render_rays(
                 field, params["coarse"], rays_n, cfg, rng=rng,
-                fine_params=params.get("fine"), z_vals=z_vals,
+                fine_params=params.get("fine"), z_vals=z_vals, fine_field=fine_field,
             )
             tv = jnp.sum((out["aux"]["dx"] - out_n["aux"]["dx"]) ** 2) * tv_loss_weight
             loss = loss + tv
@@ -193,6 +201,12 @@ def make_dnerf_step(field, cfg: RenderConfig, optimizer, scene, add_tv_loss: boo
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, opt_state), metrics
 
+    if mesh is not None:
+        from swnerf_tpu.parallel import shard_cli_step
+
+        # (state, images, poses, times, img_i, pixels, neighbor_time, rng):
+        # only the pixel batch shards over the rays axis.
+        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -227,7 +241,11 @@ def train(argv=None):
     os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
     snapshot_args(args.basedir, args.expname, args, args.config)
 
-    field, kind, rcfg, optimizer, state, start = create_dnerf(args)
+    field, fine_field, kind, rcfg, optimizer, state, start = create_dnerf(args)
+
+    from swnerf_tpu.parallel import data_parallel_mesh, replicate
+
+    mesh = data_parallel_mesh(args.N_rand)
 
     if args.render_only:
         # Live path (run_dnerf.py:553-566): first render pose swept over 120
@@ -239,6 +257,7 @@ def train(argv=None):
         rgbs, disps = render_path(
             field, state.params["coarse"], state.params["fine"], poses, scene, rcfg,
             chunk=args.chunk, savedir=savedir, render_factor=args.render_factor, times=times,
+            fine_field=fine_field, mesh=mesh,
         )
         base = os.path.join(args.basedir, args.expname, "time_")
         write_video(base + "rgb.mp4", rgbs)
@@ -255,11 +274,18 @@ def train(argv=None):
         scene, args.N_rand, args.precrop_iters, args.precrop_frac,
         precrop_iters_time=args.precrop_iters_time,
     )
-    step_fn = make_dnerf_step(field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight)
+    step_fn = make_dnerf_step(
+        field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
+        fine_field=fine_field, mesh=mesh,
+    )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
     times_dev = jnp.asarray(scene.times)
+    if mesh is not None:
+        images_dev, poses_dev, times_dev, state = replicate(
+            mesh, (images_dev, poses_dev, times_dev, state)
+        )
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
     host_rng = np.random.default_rng(0)
 
@@ -296,7 +322,7 @@ def train(argv=None):
             rgbs, disps = render_path(
                 field, state.params["coarse"], state.params["fine"],
                 scene.poses[img_i : img_i + 1], scene, rcfg, args.chunk,
-                times=scene.times[img_i : img_i + 1],
+                times=scene.times[img_i : img_i + 1], fine_field=fine_field, mesh=mesh,
             )
             logger.image(i, "gt", scene.images[img_i])
             logger.image(i, "rgb", rgbs[0])
@@ -309,7 +335,7 @@ def train(argv=None):
             rgbs, disps = render_path(
                 field, state.params["coarse"], state.params["fine"],
                 scene.render_poses, scene, rcfg, args.chunk,
-                savedir=savedir, times=scene.render_times,
+                savedir=savedir, times=scene.render_times, fine_field=fine_field, mesh=mesh,
             )
             base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
             write_video(base + "rgb.mp4", rgbs)
@@ -321,7 +347,7 @@ def train(argv=None):
                 field, state.params["coarse"], state.params["fine"],
                 scene.poses[scene.i_test], scene, rcfg, args.chunk,
                 savedir=testsavedir, times=scene.times[scene.i_test],
-                save_also_gt=scene.images[scene.i_test],
+                save_also_gt=scene.images[scene.i_test], fine_field=fine_field, mesh=mesh,
             )
             print("Saved test set")
 

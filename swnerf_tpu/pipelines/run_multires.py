@@ -209,7 +209,7 @@ def save_multires_ckpt(args, kind, params_all, opt_states, i):
     print("Saved checkpoints at", path)
 
 
-def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far):
+def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far, mesh=None):
     """One jitted joint step: render every level's patch, per-level MSE vs
     its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
     patch, a single grad over ALL level params, per-level Adam updates."""
@@ -258,6 +258,12 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far):
             new_states.append(st)
         return new_params, new_states, metrics
 
+    if mesh is not None:
+        from swnerf_tpu.parallel import shard_cli_step
+
+        # Every level's pixel-coordinate patch (arg 2, a list of [ps*ps, 2]
+        # leaves) shards over the rays axis; params/targets/scalars replicate.
+        return shard_cli_step(step, mesh, n_args=9, sharded_argnums=(2,), donate_argnums=(0, 1))
     return jax.jit(step, donate_argnums=(0, 1))
 
 
@@ -277,6 +283,16 @@ def train(argv=None):
 
     kind, fields, params_all, opts, opt_states, pyr_hwf, rcfg, start = create_multires(args, scene)
     L = args.layer_num
+
+    from math import gcd
+
+    from swnerf_tpu.parallel import data_parallel_mesh, replicate
+
+    # The mesh size must divide BOTH phase-1's N_rand and every phase-2
+    # patch batch (ps^2 per level; the smallest is the binding one since
+    # they are powers of four of each other).
+    min_patch_sq = min(max(BASE_PATCH_SIZE // (2**l), 1) ** 2 for l in range(L))
+    mesh = data_parallel_mesh(gcd(args.N_rand, min_patch_sq))
     patch_sizes = [max(BASE_PATCH_SIZE // (2**l), 1) for l in range(L)]
 
     images_dev = jnp.asarray(scene.images)
@@ -311,7 +327,8 @@ def train(argv=None):
             precrop_iters_time=args.precrop_iters_time,
         )
         step_fn = make_dnerf_step(
-            fields[layer], rcfg, opts[layer], level_scene, args.add_tv_loss, args.tv_loss_weight
+            fields[layer], rcfg, opts[layer], level_scene, args.add_tv_loss,
+            args.tv_loss_weight, mesh=mesh,
         )
         from swnerf_tpu.train.loop import TrainState
 
@@ -319,6 +336,10 @@ def train(argv=None):
         imgs_l = jnp.asarray(gauss_levels[layer])
         poses_dev = jnp.asarray(scene.poses)
         times_dev = jnp.asarray(times_np)
+        if mesh is not None:
+            imgs_l, poses_dev, times_dev, st = replicate(
+                mesh, (imgs_l, poses_dev, times_dev, st)
+            )
         for i in range(phase1_iters):
             img_i, pixels = sampler.next(i)
             nt = pick_neighbor_time(host_rng, times_np, img_i) if args.add_tv_loss else 0.0
@@ -338,10 +359,14 @@ def train(argv=None):
 
     # ---------------- Phase 2: joint patch optimization ----------------
     step_fn = make_phase2_step(
-        args, fields, opts, rcfg, pyr_hwf, patch_sizes, scene.near, scene.far
+        args, fields, opts, rcfg, pyr_hwf, patch_sizes, scene.near, scene.far, mesh=mesh
     )
     lap_dev = [jnp.asarray(b) for b in lap_bands]
     poses_dev = jnp.asarray(scene.poses[:, :3, :4])
+    if mesh is not None:
+        lap_dev, poses_dev, params_all, opt_states, images_dev = replicate(
+            mesh, (lap_dev, poses_dev, params_all, opt_states, images_dev)
+        )
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     print("Begin joint training")
@@ -397,7 +422,7 @@ def train(argv=None):
                     np.broadcast_to(scene.render_poses[0], (n, 4, 4)), lscene, rcfg,
                     args.chunk,
                     savedir=os.path.join(args.basedir, args.expname, f"frames_layer_{l}_{i:06d}_time"),
-                    times=np.linspace(0, 1, n).astype(np.float32),
+                    times=np.linspace(0, 1, n).astype(np.float32), mesh=mesh,
                 )
                 level_frames.append(jnp.asarray(rgbs))
             recon = np.asarray(reconstruct_from_pyramid(level_frames))
@@ -417,7 +442,7 @@ def train(argv=None):
                     fields[l], params_all[l]["coarse"], params_all[l]["fine"],
                     scene.poses[scene.i_test], lscene, rcfg, args.chunk,
                     savedir=os.path.join(testsavedir, f"layer_{l}"),
-                    times=times_np[scene.i_test],
+                    times=times_np[scene.i_test], mesh=mesh,
                 )
                 level_frames.append(jnp.asarray(rgbs))
             recon = np.clip(np.asarray(reconstruct_from_pyramid(level_frames)), 0, 1)

@@ -65,10 +65,14 @@ def create_vanilla(args):
         output_ch=output_ch,
     )
     field = make_vanilla_field(mcfg)
+    fine_field = None
     key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
     k1, k2 = jax.random.split(key)
     params = {"coarse": field.init(k1), "fine": None}
     if args.N_importance > 0:
+        # Distinct fine-network dims (--netdepth_fine/--netwidth_fine,
+        # reference run.py:236-246) get their own Field so the fine pass
+        # really runs the fine architecture.
         fcfg = VanillaNeRFConfig(
             netdepth=args.netdepth_fine,
             netwidth=args.netwidth_fine,
@@ -79,7 +83,8 @@ def create_vanilla(args):
             use_viewdirs=args.use_viewdirs,
             output_ch=output_ch,
         )
-        params["fine"] = make_vanilla_field(fcfg).init(k2)
+        fine_field = make_vanilla_field(fcfg)
+        params["fine"] = fine_field.init(k2)
 
     rcfg = RenderConfig(
         n_samples=args.N_samples,
@@ -115,7 +120,7 @@ def create_vanilla(args):
         )
         state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
 
-    return field, rcfg, optimizer, state, start
+    return field, fine_field, rcfg, optimizer, state, start
 
 
 def save_vanilla_ckpt(args, state: TrainState, i: int):
@@ -146,12 +151,20 @@ def train(argv=None):
     os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
     snapshot_args(args.basedir, args.expname, args, args.config)
 
-    field, rcfg, optimizer, state, start = create_vanilla(args)
+    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
+
+    # Rays-mesh data parallelism whenever >1 device is visible: training
+    # shards the pixel/index batch, eval shards render tiles (SURVEY.md §2.7
+    # greenfield mandate; SWNERF_DATA_PARALLEL=0 opts out).
+    from swnerf_tpu.parallel import data_parallel_mesh, replicate
+
+    mesh = data_parallel_mesh(args.N_rand)
 
     if args.render_only:
         print("RENDER ONLY")
         savedir = render_only(
-            field, state.params["coarse"], state.params["fine"], scene, rcfg, args, start
+            field, state.params["coarse"], state.params["fine"], scene, rcfg, args, start,
+            fine_field=fine_field, mesh=mesh,
         )
         print("Done rendering", savedir)
         return
@@ -167,18 +180,24 @@ def train(argv=None):
 
     profiler = StepProfiler()
     logger = ExperimentLogger(args.basedir, args.expname)
-    train_step = make_train_step(field, rcfg, optimizer)
+    train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
 
     use_batching = not args.no_batching
     if use_batching:
         sampler = RayPoolSampler(scene, args.N_rand)
-        step_fn = make_pool_step(train_step, rcfg, scene)
+        step_fn = make_pool_step(train_step, rcfg, scene, mesh=mesh)
+        if mesh is not None:
+            sampler.pool = replicate(mesh, sampler.pool)
     else:
         sampler = ImageSampler(scene, args.N_rand, args.precrop_iters, args.precrop_frac)
-        step_fn = make_image_step(train_step, rcfg, scene)
+        step_fn = make_image_step(train_step, rcfg, scene, mesh=mesh)
         images_dev = jnp.asarray(scene.images)
         poses_dev = jnp.asarray(scene.poses[:, :3, :4])
+        if mesh is not None:
+            images_dev, poses_dev = replicate(mesh, (images_dev, poses_dev))
+    if mesh is not None:
+        state = replicate(mesh, state)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", N_ITERS))
     samples_per_step = args.N_rand * (
@@ -189,6 +208,7 @@ def train(argv=None):
     print("TRAIN views are", scene.i_train)
     print("TEST views are", scene.i_test)
 
+    metrics = {}
     for i in range(start + 1, n_iters):
         profiler.step(i, start)
         if use_batching:
@@ -206,7 +226,8 @@ def train(argv=None):
         if i % args.i_video == 0 and i > 0:
             rgbs, disps = render_path(
                 field, state.params["coarse"], state.params["fine"],
-                scene.render_poses, scene, rcfg, args.chunk,
+                scene.render_poses, scene, rcfg, args.chunk, fine_field=fine_field,
+                mesh=mesh,
             )
             base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
             write_video(base + "rgb.mp4", rgbs)
@@ -218,6 +239,7 @@ def train(argv=None):
             render_path(
                 field, state.params["coarse"], state.params["fine"],
                 scene.poses[scene.i_test], scene, rcfg, args.chunk, savedir=testsavedir,
+                fine_field=fine_field, mesh=mesh,
             )
             print("Saved test set")
 
@@ -230,6 +252,7 @@ def train(argv=None):
 
     profiler.close()
     logger.close()
+    return {k: float(v) for k, v in metrics.items()}
 
 
 if __name__ == "__main__":

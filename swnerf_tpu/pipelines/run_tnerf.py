@@ -109,6 +109,10 @@ def train(argv=None):
 
     field, rcfg, optimizer, state, start = create_tnerf(args)
 
+    from swnerf_tpu.parallel import data_parallel_mesh, replicate
+
+    mesh = data_parallel_mesh(args.N_rand)
+
     if args.render_only:
         print("RENDER ONLY")
         suffix = "test" if args.render_test else "path"
@@ -116,7 +120,7 @@ def train(argv=None):
         rgbs, disps = render_path(
             field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
             chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
-            times=scene.render_times,
+            times=scene.render_times, mesh=mesh,
         )
         write_video(os.path.join(savedir, "video.mp4"), rgbs)
         return
@@ -126,11 +130,17 @@ def train(argv=None):
         scene, args.N_rand, args.precrop_iters, args.precrop_frac,
         precrop_iters_time=args.precrop_iters_time,
     )
-    step_fn = make_dnerf_step(field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0)
+    step_fn = make_dnerf_step(
+        field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0, mesh=mesh
+    )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
     times_dev = jnp.asarray(scene.times)
+    if mesh is not None:
+        images_dev, poses_dev, times_dev, state = replicate(
+            mesh, (images_dev, poses_dev, times_dev, state)
+        )
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
@@ -159,7 +169,7 @@ def train(argv=None):
             )
             rgbs, disps = render_path(
                 field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
-                args.chunk, savedir=savedir, times=scene.render_times,
+                args.chunk, savedir=savedir, times=scene.render_times, mesh=mesh,
             )
             base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
             write_video(base + "rgb.mp4", rgbs)
@@ -170,6 +180,7 @@ def train(argv=None):
             render_path(
                 field, state.params["coarse"], None, scene.poses[scene.i_test], scene,
                 rcfg, args.chunk, savedir=testsavedir, times=scene.times[scene.i_test],
+                mesh=mesh,
             )
             print("Saved test set")
 

@@ -89,8 +89,13 @@ def render_rays(
     rng: Optional[jax.Array] = None,
     fine_params=None,
     z_vals: Optional[jnp.ndarray] = None,
+    fine_field: Optional[Field] = None,
 ) -> Dict[str, Any]:
     """Render a ray batch. Returns a dict of per-ray maps.
+
+    ``fine_field`` carries a distinct fine-network architecture (reference
+    ``--netdepth_fine/--netwidth_fine``, run.py:236-246); when None the
+    coarse ``field`` serves both passes (shared architecture).
 
     Keys always present: rgb, disp, acc, weights, depth, z_vals, raw, aux.
     With a fine pass and ``cfg.coarse_contributes``: rgb0, disp0, acc0, aux0,
@@ -98,12 +103,16 @@ def render_rays(
     """
     k_jit, k_noise0, k_pdf, k_noise1 = _split(rng, 4)
     viewdirs = rays.viewdirs if cfg.use_viewdirs else None
+    ffield = field if fine_field is None else fine_field
 
     if z_vals is not None:
         # External sample positions (D-NeRF TV-loss path): one field pass.
-        p = params if fine_params is None else fine_params
+        if fine_params is None:
+            p, f = params, field
+        else:
+            p, f = fine_params, ffield
         pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., :, None]
-        raw, aux = field.apply(p, pts, viewdirs, rays.times)
+        raw, aux = f.apply(p, pts, viewdirs, rays.times)
         out = composite(
             raw, z_vals, rays.directions, cfg.raw_noise_std, cfg.white_bkgd, k_noise1
         )
@@ -152,8 +161,11 @@ def render_rays(
             rays.origins[..., None, :]
             + rays.directions[..., None, :] * z_vals[..., :, None]
         )
-        p = params if fine_params is None else fine_params
-        raw, aux = field.apply(p, pts, viewdirs, rays.times)
+        if fine_params is None:
+            p, f = params, field
+        else:
+            p, f = fine_params, ffield
+        raw, aux = f.apply(p, pts, viewdirs, rays.times)
         out = composite(
             raw, z_vals, rays.directions, cfg.raw_noise_std, cfg.white_bkgd, k_noise1
         )
@@ -264,8 +276,16 @@ def _pad_rays(rays: Rays, multiple: int):
 _RENDER_IMAGE_JITS: Dict[Any, Any] = {}
 
 
-def _render_image_fn(field: Field, cfg: RenderConfig, chunk: int, has_vd: bool, has_t: bool):
-    key = (field, cfg, chunk, has_vd, has_t)
+def _render_image_fn(
+    field: Field,
+    cfg: RenderConfig,
+    chunk: int,
+    has_vd: bool,
+    has_t: bool,
+    fine_field: Optional[Field],
+    mesh,
+):
+    key = (field, cfg, chunk, has_vd, has_t, fine_field, mesh)
     fn = _RENDER_IMAGE_JITS.get(key)
     if fn is not None:
         return fn
@@ -276,12 +296,27 @@ def _render_image_fn(field: Field, cfg: RenderConfig, chunk: int, has_vd: bool, 
         def body(tile_arrays):
             o, d, vd, nr, fr, tm = tile_arrays
             tile = Rays(o, d, vd if has_vd else None, nr, fr, tm if has_t else None)
-            out = render_rays(field, params, tile, cfg, rng=None, fine_params=fine_params)
+            out = render_rays(
+                field, params, tile, cfg, rng=None, fine_params=fine_params,
+                fine_field=fine_field,
+            )
             return out["rgb"], out["disp"], out["acc"], out["depth"]
 
         return jax.lax.map(body, xs)
 
-    fn = jax.jit(run)
+    if mesh is not None:
+        # Eval data parallelism: the tile axis shards over the rays mesh —
+        # every chip lax.maps its share of tiles; fetching the output
+        # all_gathers the image (SURVEY.md §5 eval collective).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from swnerf_tpu.parallel.mesh import RAYS_AXIS
+
+        rep = NamedSharding(mesh, P())
+        shd = NamedSharding(mesh, P(RAYS_AXIS))
+        fn = jax.jit(run, in_shardings=(rep, rep, shd), out_shardings=shd)
+    else:
+        fn = jax.jit(run)
     _RENDER_IMAGE_JITS[key] = fn
     return fn
 
@@ -293,17 +328,30 @@ def render_image(
     cfg: RenderConfig,
     chunk: int = 8192,
     fine_params=None,
-    rng: Optional[jax.Array] = None,
+    fine_field: Optional[Field] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Chunked whole-image render: ONE cached-jit program of ``lax.map`` over
     static ray tiles replaces the reference's Python batchify_rays loop
     (run.py:90-102) — compiled once per (field, cfg, chunk, shape), so a
     render path over many poses dispatches one executable per pose.
-    Deterministic (eval mode); returns rgb/disp/acc/depth flattened to
-    [N_rays, ...].
+    Always deterministic (eval mode: the reference's render_kwargs_test,
+    run.py:302-304); returns rgb/disp/acc/depth flattened to [N_rays, ...].
+
+    With ``mesh``, tiles shard over the ``rays`` axis — eval rendering time
+    drops ~n_devices x (the reference has no eval distribution at all).
     """
-    cfg = cfg.eval_mode() if rng is None else cfg
-    padded, n = _pad_rays(rays, chunk)
+    cfg = cfg.eval_mode()
+    multiple = chunk
+    if mesh is not None:
+        # Bound the padding waste: with few rays per device, shrink the tile
+        # so the grid still covers every chip without padding a full chunk
+        # per device (e.g. 160k rays / 8 chips with chunk=32768).
+        ndev = int(mesh.devices.size)
+        per_dev = -(-rays.origins.shape[0] // ndev)  # ceil
+        chunk = min(chunk, -(-per_dev // 256) * 256 if per_dev > 256 else per_dev)
+        multiple = chunk * ndev
+    padded, n = _pad_rays(rays, multiple)
     n_chunks = padded.origins.shape[0] // chunk
 
     def reshape_leaf(x):
@@ -325,7 +373,16 @@ def render_image(
         tiles.far,
         tiles.times if has_t else zeros,
     )
-    fn = _render_image_fn(field, cfg, chunk, has_vd, has_t)
+    if mesh is not None:
+        # Replicate params up front (no-op when already replicated) so
+        # committed single-device params don't clash with in_shardings.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        if fine_params is not None:
+            fine_params = jax.device_put(fine_params, rep)
+    fn = _render_image_fn(field, cfg, chunk, has_vd, has_t, fine_field, mesh)
     rgb, disp, acc, depth = fn(params, fine_params, xs)
     return {
         "rgb": rgb.reshape(-1, 3)[:n],

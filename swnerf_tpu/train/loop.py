@@ -71,11 +71,14 @@ def make_train_step(
     cfg: RenderConfig,
     optimizer: optax.GradientTransformation,
     extra_loss_fn: Optional[Callable[..., Tuple[jnp.ndarray, Dict]]] = None,
+    fine_field: Optional[Field] = None,
 ):
     """Build a jittable ``(state, rays, target, rng) -> (state, metrics)``.
 
     ``extra_loss_fn(params, outputs, rays, target, rng)`` may add a model-
     specific term (e.g. the D-NeRF TV loss) returning ``(extra, extra_metrics)``.
+    ``fine_field`` carries a distinct fine-network architecture
+    (``--netdepth_fine/--netwidth_fine``); None shares the coarse one.
     """
 
     def loss_fn(params, rays: Rays, target, rng):
@@ -86,6 +89,7 @@ def make_train_step(
             cfg,
             rng=rng,
             fine_params=params.get("fine"),
+            fine_field=fine_field,
         )
         img_loss = mse(out["rgb"], target)
         loss = img_loss

@@ -1,0 +1,131 @@
+"""CLI-level data-parallelism tests: the four trainers shard their per-step
+ray batch over the 8-device (simulated) mesh, and the sharded run produces
+the same training trajectory as the single-device run.
+
+The reference has no distribution at all (single cuda:0, SURVEY.md §2.7);
+these tests pin the greenfield behavior: ``python -m
+swnerf_tpu.pipelines.run_nerf`` on a multi-chip host trains on every chip.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+import torch
+
+from tests.test_config_data import _write_blender_dataset
+from tests.test_pipeline import _base_args
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    data = tmp_path / "data"
+    _write_blender_dataset(str(data), n=3, size=8)
+    return data
+
+
+def _load_sd(path):
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    return {k: np.asarray(v) for k, v in ckpt["network_fn_state_dict"].items()}
+
+
+def _train_vanilla(dataset, logs, monkeypatch, parallel: bool, extra=()):
+    from swnerf_tpu.pipelines.run_nerf import train
+
+    monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+    monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1" if parallel else "0")
+    train(_base_args(dataset, logs, list(extra)))
+    return _load_sd(logs / "tiny" / "000010.tar")
+
+
+class TestShardedCLI:
+    def test_mesh_policy(self, monkeypatch):
+        from swnerf_tpu.parallel import data_parallel_mesh
+
+        assert jax.device_count() >= 8
+        mesh = data_parallel_mesh(1024)
+        assert mesh is not None and mesh.devices.size == jax.device_count()
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "0")
+        assert data_parallel_mesh(1024) is None
+
+    def test_vanilla_pool_sharded_matches_single(self, tmp_path, dataset, monkeypatch):
+        """use_batching path: 10 sharded steps == 10 single-device steps."""
+        sd_par = _train_vanilla(dataset, tmp_path / "par", monkeypatch, True,
+                                ["--N_importance", "4"])
+        sd_single = _train_vanilla(dataset, tmp_path / "single", monkeypatch, False,
+                                   ["--N_importance", "4"])
+        assert sd_par.keys() == sd_single.keys()
+        for k in sd_par:
+            np.testing.assert_allclose(sd_par[k], sd_single[k], atol=2e-5, err_msg=k)
+
+    def test_vanilla_image_sharded_matches_single(self, tmp_path, dataset, monkeypatch):
+        """no_batching path (per-image pixel sampling, precrop curriculum)."""
+        sd_par = _train_vanilla(dataset, tmp_path / "par", monkeypatch, True,
+                                ["--no_batching"])
+        sd_single = _train_vanilla(dataset, tmp_path / "single", monkeypatch, False,
+                                   ["--no_batching"])
+        for k in sd_par:
+            np.testing.assert_allclose(sd_par[k], sd_single[k], atol=2e-5, err_msg=k)
+
+    def test_uneven_batch_shards(self, tmp_path, dataset, monkeypatch):
+        """N_rand not divisible by the device count still trains on the
+        largest divisor mesh (e.g. N_rand=20 on 8 devices -> 5 chips; the
+        reference bouncingballs config uses N_rand=500 -> 5 of 8)."""
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "7")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        logs = tmp_path / "logs"
+        args = [a if a != "16" else "20" for a in _base_args(dataset, logs)]
+        train(args + ["--no_batching"])
+        recs = [
+            json.loads(l)
+            for l in (logs / "tiny" / "metrics.jsonl").read_text().strip().splitlines()
+        ]
+        assert recs and all(np.isfinite(r["total_loss"]) for r in recs)
+
+
+class TestShardedDnerfFamily:
+    def _dnerf_args(self, data_root, log_root, extra=()):
+        return [
+            "--expname", "tiny",
+            "--basedir", str(log_root),
+            "--datadir", str(data_root),
+            "--dataset_type", "blender",
+            "--nerf_type", "direct_temporal",
+            "--white_bkgd", "--use_viewdirs",
+            "--netdepth", "2", "--netwidth", "32",
+            "--netdepth_fine", "2", "--netwidth_fine", "32",
+            "--multires", "4", "--multires_views", "2",
+            "--N_rand", "16", "--N_samples", "8", "--N_iter", "10",
+            "--chunk", "64", "--testskip", "1",
+            "--i_weights", "10", "--i_print", "5",
+            "--i_video", "100000", "--i_testset", "100000", "--i_img", "100000",
+            "--precrop_iters", "0",
+        ] + list(extra)
+
+    @pytest.fixture
+    def dyn_dataset(self, tmp_path):
+        data = tmp_path / "ddata"
+        _write_blender_dataset(str(data), n=3, size=8, dynamic=True)
+        return data
+
+    def test_dnerf_sharded_matches_single(self, tmp_path, dyn_dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        sds = {}
+        for tag, par in (("par", "1"), ("single", "0")):
+            monkeypatch.setenv("SWNERF_DATA_PARALLEL", par)
+            logs = tmp_path / tag
+            train(self._dnerf_args(dyn_dataset, logs, ["--add_tv_loss"]))
+            ckpt = torch.load(
+                str(logs / "tiny" / "000010.tar"), map_location="cpu", weights_only=False
+            )
+            sds[tag] = {k: np.asarray(v) for k, v in ckpt["network_fn_state_dict"].items()}
+        for k in sds["par"]:
+            np.testing.assert_allclose(
+                sds["par"][k], sds["single"][k], atol=2e-5, err_msg=k
+            )

@@ -94,6 +94,43 @@ class TestRenderRays:
         b = render_rays(field, params, _make_rays(), ecfg)
         np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
 
+    def test_distinct_fine_architecture(self):
+        """--netdepth_fine/--netwidth_fine different from the coarse net
+        (reference run.py:236-246): the fine pass must run the FINE field."""
+        field, params = _setup()  # D=3, W=32
+        fcfg = VanillaNeRFConfig(
+            netdepth=4, netwidth=48, skips=(1,), multires=4, multires_views=2
+        )
+        fine_field = make_vanilla_field(fcfg)
+        fine_params = fine_field.init(jax.random.PRNGKey(7))
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0)
+        out = render_rays(
+            field, params, _make_rays(), cfg,
+            fine_params=fine_params, fine_field=fine_field,
+        )
+        assert out["rgb"].shape == (16, 3)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+        # The fine output must match a direct fine-field eval at the merged
+        # depths — i.e. the fine architecture really produced it.
+        direct = render_rays(
+            fine_field, fine_params, _make_rays(), cfg.eval_mode(),
+            z_vals=out["z_vals"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(direct["rgb"]), atol=1e-6
+        )
+
+        def loss(p):
+            o = render_rays(
+                field, p["coarse"], _make_rays(), cfg,
+                fine_params=p["fine"], fine_field=fine_field,
+            )
+            return jnp.sum(o["rgb"] ** 2) + jnp.sum(o["rgb0"] ** 2)
+
+        g = jax.grad(loss)({"coarse": params, "fine": fine_params})
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
+
     def test_grad_flows_coarse_and_fine(self):
         field, params = _setup()
         cfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0)
@@ -133,6 +170,28 @@ class TestRenderImage:
         np.testing.assert_allclose(
             np.asarray(full["rgb"]), np.asarray(chunked["rgb"]), atol=1e-6
         )
+
+    def test_sharded_eval_identical_pixels(self):
+        """render_image over the 8-device mesh returns the same pixels as
+        single-device (eval tile distribution, SURVEY.md §5)."""
+        import jax as _jax
+
+        from swnerf_tpu.parallel import make_mesh
+
+        assert _jax.device_count() >= 8
+        field, params = _setup()
+        cfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0)
+        fine_params = field.init(jax.random.PRNGKey(3))
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 4.0
+        rays = make_rays_from_camera(9, 11, 8.0, c2w, near=2.0, far=6.0)  # 99 rays
+        single = render_image(field, params, rays, cfg, chunk=16, fine_params=fine_params)
+        sharded = render_image(
+            field, params, rays, cfg, chunk=16, fine_params=fine_params,
+            mesh=make_mesh(),
+        )
+        for k in ("rgb", "disp", "acc", "depth"):
+            np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(sharded[k]))
 
     def test_jit_render(self):
         field, params = _setup()
