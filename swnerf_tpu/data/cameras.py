@@ -6,6 +6,14 @@ load_custom_data.py:55-84) and the LLFF average-pose/spiral/recenter/spherify
 machinery (dataloader/load_llff.py:126-241). Torch-free: the reference built
 these tiny 4x4s as torch tensors; they are host-side precompute and belong in
 numpy.
+
+Provenance note: the LLFF pose recipes below (average pose, spiral render
+path, spherify) implement the well-known camera math from Fyusion/LLFF
+(github.com/Fyusion/LLFF, llff/poses/pose_utils.py), which the reference
+itself vendors (load_llff.py:5-6 credits it). The math must match that
+upstream recipe numerically for data parity — constants like the arbitrary
+[0.1, 0.2, 0.3] cross-product seed vector are part of the recipe, not of
+this or the reference codebase's novelty.
 """
 
 from __future__ import annotations
@@ -95,17 +103,20 @@ def recenter_poses(poses: np.ndarray) -> np.ndarray:
     return out
 
 
-def render_path_spiral(c2w, up, rads, focal, zrate, rots, n):
+def render_path_spiral(c2w, up, radii, focal, zrate, rots, n):
+    """Spiral render path around the average pose (LLFF upstream recipe;
+    reference load_llff.py:154-163)."""
     poses = []
-    rads = np.array(list(rads) + [1.0])
+    radii = np.array(list(radii) + [1.0])
     hwf = c2w[:, 4:5]
     for theta in np.linspace(0.0, 2.0 * np.pi * rots, n + 1)[:-1]:
-        c = np.dot(
+        eye = np.dot(
             c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads,
+            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
+            * radii,
         )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
+        look = normalize(eye - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
+        poses.append(np.concatenate([viewmatrix(look, up, eye), hwf], 1))
     return np.stack(poses)
 
 
@@ -113,29 +124,29 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
     """Recenter 360-inward-facing captures onto a unit sphere and build a
     circular render path (load_llff.py:185-241)."""
 
-    def p34_to_44(p):
+    def to_homogeneous(p):
         return np.concatenate(
             [p, np.tile(np.reshape(np.eye(4)[-1], [1, 1, 4]), [p.shape[0], 1, 1])], 1
         )
 
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    cam_axes = poses[:, :3, 2:3]
+    cam_origins = poses[:, :3, 3:4]
 
-    # Point minimizing distance to all camera axes.
-    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-    b_i = -A_i @ rays_o
-    pt_mindist = np.squeeze(
-        -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ b_i.mean(0)
+    # Point minimizing distance to all camera axes (least squares).
+    proj = np.eye(3) - cam_axes * np.transpose(cam_axes, [0, 2, 1])
+    rhs = -proj @ cam_origins
+    center = np.squeeze(
+        -np.linalg.inv((np.transpose(proj, [0, 2, 1]) @ proj).mean(0)) @ rhs.mean(0)
     )
-
-    center = pt_mindist
     up = (poses[:, :3, 3] - center).mean(0)
     vec0 = normalize(up)
     vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
     vec2 = normalize(np.cross(vec0, vec1))
     c2w = np.stack([vec1, vec2, vec0, center], 1)
 
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
+    poses_reset = np.linalg.inv(to_homogeneous(c2w[None])) @ to_homogeneous(
+        poses[:, :3, :4]
+    )
     rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
 
     sc = 1.0 / rad
@@ -144,17 +155,19 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
     rad *= sc
 
     centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
+    ring_height = centroid[2]
+    ring_radius = np.sqrt(rad**2 - ring_height**2)
 
     new_poses = []
     for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
+        eye = np.array(
+            [ring_radius * np.cos(th), ring_radius * np.sin(th), ring_height]
+        )
         up = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
+        vec2 = normalize(eye)
         vec0 = normalize(np.cross(vec2, up))
         vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+        new_poses.append(np.stack([vec0, vec1, vec2, eye], 1))
     new_poses = np.stack(new_poses, 0)
 
     new_poses = np.concatenate(

@@ -401,6 +401,11 @@ def render_only(
             psnrs.append(a)
             ssims.append(b)
             lpipss.append(c)
+        payload = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss}
+        if any(v is None for v in lpipss):
+            from swnerf_tpu.utils.metrics import LPIPS_UNAVAILABLE_NOTE
+
+            payload["lpips_note"] = LPIPS_UNAVAILABLE_NOTE
         with open(os.path.join(savedir, "metrics.json"), "w") as f:
-            json.dump({"psnr": psnrs, "ssim": ssims, "lpips": lpipss}, f, indent=4)
+            json.dump(payload, f, indent=4)
     return savedir

@@ -18,7 +18,13 @@ import os
 
 import numpy as np
 
-from swnerf_tpu.utils.metrics import lpips, psnr, ssim
+from swnerf_tpu.utils.metrics import (
+    LPIPS_UNAVAILABLE_NOTE,
+    lpips,
+    lpips_available,
+    psnr,
+    ssim,
+)
 
 
 def _list_images(d: str):
@@ -69,11 +75,16 @@ def main(argv=None):
         k: (float(np.mean([f[k] for f in frames])) if all(f[k] is not None for f in frames) else None)
         for k in keys
     }
+    payload = {"frames": frames, "mean": means}
+    if not lpips_available():
+        payload["lpips_note"] = LPIPS_UNAVAILABLE_NOTE
     with open(os.path.join(out, "metrics.json"), "w") as f:
-        json.dump({"frames": frames, "mean": means}, f, indent=4)
+        json.dump(payload, f, indent=4)
     with open(os.path.join(out, "metrics.txt"), "w") as f:
         for k in keys:
             f.write(f"{k}: {means[k]}\n")
+        if not lpips_available():
+            f.write(f"note: {LPIPS_UNAVAILABLE_NOTE}\n")
     print("mean:", means)
 
 

@@ -106,6 +106,26 @@ def ssim(
 
 _LPIPS_MODEL = None
 
+# Written next to any null lpips value so downstream consumers of
+# metrics.json know the schema delta is deliberate, not a bug (the reference
+# hard-depends on the lpips package + pretrained AlexNet/VGG weights, which
+# need network egress; this environment has neither).
+LPIPS_UNAVAILABLE_NOTE = (
+    "lpips unavailable: the optional 'lpips' package (pretrained AlexNet/VGG "
+    "weights) is not installed in this environment; install it to populate "
+    "this column (reference nerf/run.py:49-61 uses LPIPS(alex))."
+)
+
+
+def lpips_available() -> bool:
+    try:
+        import lpips as _  # noqa: F401
+        import torch as _t  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
 
 def lpips(gt: np.ndarray, pred: np.ndarray, net: str = "alex") -> Optional[float]:
     """LPIPS(net) if the optional ``lpips`` package is importable, else None

@@ -139,6 +139,102 @@ class TestOverfit:
         assert moved > 0
 
 
+class TestTVLossGolden:
+    def test_tv_value_matches_hand_recipe(self):
+        """Pin the TV-loss semantics against an independently computed value
+        (reference run_dnerf.py:690-725, shared-model mode):
+
+          1. render the batch at its frame time t, keep the z_vals;
+          2. re-evaluate the deformation dx at the SAME sample points with
+             the neighbor time t_n (frozen z_vals — the reference's
+             ``z_vals=extras['z_vals'].detach()`` pass-through, :702-710);
+          3. tv = tv_loss_weight * SUM((dx - dx_n)^2)  (a sum, not a mean,
+             over all [N_rand, S, 3] elements — run_dnerf.py:716-725).
+
+        The expected value is recomputed here from numpy sampling math plus
+        two direct field.apply calls — no render core, no train step."""
+        import dataclasses
+
+        from swnerf_tpu.models import DNeRFConfig, make_dnerf_field
+        from swnerf_tpu.ops.rays import get_rays_at
+        from swnerf_tpu.pipelines.common import Scene
+        from swnerf_tpu.pipelines.run_dnerf import make_dnerf_step
+        from swnerf_tpu.render import RenderConfig
+        from swnerf_tpu.train.loop import init_train_state
+
+        H = W = 4
+        K = np.array([[4.0, 0, 2.0], [0, 4.0, 2.0], [0, 0, 1.0]])
+        n_imgs, n_rand, n_samp = 3, 8, 6
+        rng_np = np.random.default_rng(3)
+        images = rng_np.uniform(0, 1, (n_imgs, H, W, 3)).astype(np.float32)
+        poses = np.broadcast_to(np.eye(4, dtype=np.float32), (n_imgs, 4, 4)).copy()
+        poses[:, 2, 3] = 4.0
+        times = np.array([0.0, 0.5, 1.0], np.float32)
+        scene = Scene(
+            images=images, poses=poses, render_poses=poses, H=H, W=W,
+            focal=4.0, K=K, near=2.0, far=6.0,
+            i_train=np.arange(n_imgs), i_val=np.array([]), i_test=np.array([]),
+            times=times,
+        )
+
+        mcfg = DNeRFConfig(
+            netdepth=2, netwidth=16, skips=(), multires=2, multires_views=1,
+            zero_canonical=True,
+        )
+        field = make_dnerf_field(mcfg)
+        params = {"coarse": field.init(jax.random.PRNGKey(5)), "fine": None}
+
+        # Deterministic everything: no jitter, no density noise, no fine pass.
+        rcfg = RenderConfig(
+            n_samples=n_samp, n_importance=0, perturb=0.0, raw_noise_std=0.0,
+            use_viewdirs=True, white_bkgd=False,
+        )
+        w_tv = 0.123
+        opt = make_optimizer(lrate=0.0, lrate_decay=250)
+        step = make_dnerf_step(field, rcfg, opt, scene, True, w_tv)
+
+        img_i, t_n = 1, 0.65  # frame time 0.5, interpolated neighbor 0.65
+        pixels = np.stack(
+            np.unravel_index(rng_np.choice(H * W, n_rand, replace=False), (H, W)), -1
+        ).astype(np.int32)
+
+        # ---- independent recipe (before the step donates the params) ----
+        rays_o, rays_d = get_rays_at(jnp.asarray(pixels), H, W, K, poses[img_i][:3, :4])
+        rays_o, rays_d = np.asarray(rays_o), np.asarray(rays_d)
+        vd = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        t_lin = np.linspace(0.0, 1.0, n_samp, dtype=np.float32)
+        z = 2.0 * (1.0 - t_lin) + 6.0 * t_lin  # perturb=0 stratified recipe
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[None, :, None]
+
+        def dx_at(t):
+            tcol = jnp.full((n_rand, 1), t, jnp.float32)
+            _, aux = field.apply(params["coarse"], jnp.asarray(pts), jnp.asarray(vd), tcol)
+            return np.asarray(aux["dx"])
+
+        expected = w_tv * np.sum((dx_at(0.5) - dx_at(t_n)) ** 2)
+        assert expected > 0  # the test must not trivially pass on zeros
+
+        state = init_train_state(params, opt)
+        _, metrics = step(
+            state, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(times),
+            img_i, jnp.asarray(pixels), jnp.float32(t_n), jax.random.PRNGKey(0),
+        )
+        assert float(metrics["tv"]) == pytest.approx(float(expected), rel=1e-5)
+
+    def test_tv_zero_at_canonical_time(self):
+        """zero_canonical forces dx == 0 at t == 0 (model.py:144-146), so a
+        TV pass between t=0 and neighbor 0 is exactly zero."""
+        from swnerf_tpu.models import DNeRFConfig, make_dnerf_field
+
+        mcfg = DNeRFConfig(netdepth=2, netwidth=16, skips=(), multires=2, multires_views=1)
+        field = make_dnerf_field(mcfg)
+        params = field.init(jax.random.PRNGKey(1))
+        pts = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3, 3)), jnp.float32)
+        vd = pts[:, 0, :]
+        _, aux = field.apply(params, pts, vd, jnp.zeros((4, 1)))
+        np.testing.assert_array_equal(np.asarray(aux["dx"]), 0.0)
+
+
 class TestDataParallel:
     def test_sharded_matches_single(self):
         """The psum-reduced 8-way sharded step equals the single-device step."""
