@@ -1,0 +1,331 @@
+"""Direct PSNR-parity harness: the PyTorch reference vs swnerf_tpu, trained
+side-by-side on the identical on-disk scene/config/schedule (BASELINE.md
+quality gate: final PSNR within ~0.1 dB).
+
+What it does:
+  1. writes a renderable synthetic blender-format scene to disk
+     (swnerf_tpu.data.synthetic.write_blender_scene — the real lego/
+     bouncingballs datasets cannot be downloaded in this environment);
+  2. runs the REFERENCE trainer (/root/reference/nerf/run.py train(), or
+     d_nerf/run_dnerf.py train() with --dnerf) on CPU with the iteration
+     count capped by monkeypatching its ``trange`` (the vanilla runner
+     hardcodes 200 001 iters, run.py:625) — the reference code itself is
+     executed unmodified otherwise;
+  3. runs swnerf_tpu's run_nerf/run_dnerf on the same data and hyperparams;
+  4. loads BOTH final .tar checkpoints through swnerf_tpu's torch-compatible
+     reader and renders the test views with the SAME deterministic renderer,
+     so the comparison isolates *training* parity (our forward pass is
+     independently pinned to torch's in tests/test_checkpoint.py);
+  5. appends the table to PARITY_TORCH.md and writes parity_vs_torch.json.
+
+Reference-only dependencies absent from this image are stubbed at import
+time (no reference code is modified):
+  * configargparse -> swnerf_tpu.utils.config.ConfigArgumentParser (same API);
+  * skimage.metrics -> swnerf_tpu.utils.metrics psnr/ssim (exact skimage
+    algorithms; only used by the reference's render_only path);
+  * lpips -> a zero-valued stand-in (pretrained weights need egress).
+
+Env knobs: PARITY_ITERS (default 2000), PARITY_SIZE (64), PARITY_N_RAND
+(128), PARITY_SAMPLES (32), PARITY_MODE (nerf|dnerf), PARITY_OUT dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, "/root/repo")
+
+REFERENCE = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# Import-time stubs for the reference's missing optional deps
+# ---------------------------------------------------------------------------
+
+
+def install_reference_stubs():
+    import numpy as np
+    import torch
+
+    from swnerf_tpu.utils import config as swcfg
+    from swnerf_tpu.utils import metrics as swmetrics
+
+    cap = types.ModuleType("configargparse")
+    cap.ArgumentParser = swcfg.ConfigArgumentParser
+    sys.modules.setdefault("configargparse", cap)
+
+    sk = types.ModuleType("skimage")
+    skm = types.ModuleType("skimage.metrics")
+
+    def structural_similarity(gt, pred, win_size=7, data_range=None,
+                              channel_axis=None, multichannel=None, **kw):
+        del multichannel
+        return swmetrics.ssim(
+            gt, pred, data_range=data_range, win_size=win_size, channel_axis=channel_axis
+        )
+
+    skm.structural_similarity = structural_similarity
+    skm.peak_signal_noise_ratio = lambda gt, pred, data_range=None: swmetrics.psnr(
+        gt, pred, data_range=data_range
+    )
+    sk.metrics = skm
+    sys.modules.setdefault("skimage", sk)
+    sys.modules.setdefault("skimage.metrics", skm)
+
+    lp = types.ModuleType("lpips")
+
+    class LPIPS:
+        def __init__(self, net="alex"):
+            del net
+
+        def to(self, device):
+            return self
+
+        def __call__(self, a, b):
+            return torch.zeros(1)
+
+    lp.LPIPS = LPIPS
+    sys.modules.setdefault("lpips", lp)
+    del np
+
+
+def import_reference_module(runner: str):
+    """Exec the reference runner module from its real path (its own
+    sys.path.append pulls in the repo-root embedder/ray/model/utils)."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE, *runner.split("/"))
+    name = "ref_" + os.path.basename(runner).replace(".py", "")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# Shared experiment definition
+# ---------------------------------------------------------------------------
+
+
+def build_config(mode, out, data, iters):
+    size = int(os.environ.get("PARITY_SIZE", "64"))
+    n_rand = int(os.environ.get("PARITY_N_RAND", "128"))
+    n_samp = int(os.environ.get("PARITY_SAMPLES", "32"))
+    cfg = {
+        "datadir": data,
+        "dataset_type": "blender",
+        "no_batching": "True",
+        "use_viewdirs": "True",
+        "white_bkgd": "True",
+        "lrate": "5e-4",
+        "lrate_decay": "250",
+        "N_rand": str(n_rand),
+        "N_samples": str(n_samp),
+        "N_importance": str(n_samp),
+        "netdepth": "8",
+        "netwidth": "256",
+        "netdepth_fine": "8",
+        "netwidth_fine": "256",
+        "multires": "10",
+        "multires_views": "4",
+        "raw_noise_std": "1e0",  # the reference's dead-ReLU unsticker
+        "precrop_iters": "100",
+        "precrop_frac": "0.5",
+        "testskip": "1",
+        "i_weights": str(iters),
+        "i_print": "500",
+        "i_video": "10000000",
+        "i_testset": "10000000",
+        "i_img": "10000000",
+        "chunk": "8192",
+        "netchunk": "16384",
+        "half_res": "False",
+    }
+    if mode == "dnerf":
+        cfg.update(
+            nerf_type="direct_temporal",
+            N_iter=str(iters),
+            add_tv_loss="True",
+            tv_loss_weight="1e-4",
+            precrop_iters="0",
+            precrop_iters_time="0",
+            use_two_models_for_fine="False",
+        )
+    return cfg, size
+
+
+def write_config(path, cfg, expname, basedir):
+    with open(path, "w") as f:
+        f.write(f"expname = {expname}\nbasedir = {basedir}\n")
+        for k, v in cfg.items():
+            f.write(f"{k} = {v}\n")
+
+
+# ---------------------------------------------------------------------------
+# Reference side
+# ---------------------------------------------------------------------------
+
+
+def run_reference(mode, cfgpath, iters):
+    install_reference_stubs()
+    import torch
+
+    torch.manual_seed(0)
+    runner = "nerf/run.py" if mode == "nerf" else "d_nerf/run_dnerf.py"
+    t0 = time.time()
+    mod = import_reference_module(runner)
+    torch.autograd.set_detect_anomaly(False)  # utils.py:2 foot-gun; speed only
+
+    if mode == "nerf":
+        # The vanilla runner hardcodes N_iters=200 001 (run.py:625); cap the
+        # loop by bounding its trange. The train() body runs unmodified.
+        mod.trange = lambda a, b: range(a, min(b, iters + 1))
+    old_argv = sys.argv
+    sys.argv = ["run.py", "--config", cfgpath]
+    try:
+        mod.train()
+    finally:
+        sys.argv = old_argv
+    return time.time() - t0
+
+
+# ---------------------------------------------------------------------------
+# swnerf_tpu side
+# ---------------------------------------------------------------------------
+
+
+def run_ours(mode, cfgpath, iters, seed=0):
+    os.environ["SWNERF_MAX_ITERS"] = str(iters + 1)
+    os.environ["SWNERF_SEED"] = str(seed)
+    t0 = time.time()
+    if mode == "nerf":
+        from swnerf_tpu.pipelines.run_nerf import train
+    else:
+        from swnerf_tpu.pipelines.run_dnerf import train
+    train(["--config", cfgpath])
+    return time.time() - t0
+
+
+# ---------------------------------------------------------------------------
+# Identical evaluation of both checkpoints
+# ---------------------------------------------------------------------------
+
+
+def eval_ckpt(mode, tarpath, scene_args, label):
+    """Load a torch-schema .tar and render the test views deterministically
+    with swnerf_tpu's renderer; per-frame PSNR vs GT."""
+    import numpy as np
+    import jax
+
+    from swnerf_tpu.pipelines.common import load_scene, render_path
+    from swnerf_tpu.train.checkpoint import load_tar, state_dict_to_params
+    from swnerf_tpu.utils.metrics import psnr
+
+    scene = load_scene(scene_args)
+    ckpt = load_tar(tarpath)
+
+    if mode == "nerf":
+        from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+
+        mcfg = VanillaNeRFConfig(output_ch=5)
+        field = make_vanilla_field(mcfg)
+        kind = "vanilla"
+    else:
+        from swnerf_tpu.models import DNeRFConfig, make_dnerf_field
+
+        mcfg = DNeRFConfig(output_ch=5)
+        field = make_dnerf_field(mcfg)
+        kind = "direct_temporal"
+    template = field.init(jax.random.PRNGKey(0))
+    coarse = state_dict_to_params(kind, ckpt["network_fn_state_dict"], template)
+    fine = None
+    if ckpt.get("network_fine_state_dict"):
+        fine = state_dict_to_params(kind, ckpt["network_fine_state_dict"], template)
+
+    from swnerf_tpu.render.core import RenderConfig
+
+    n_samp = int(os.environ.get("PARITY_SAMPLES", "32"))
+    rcfg = RenderConfig(
+        n_samples=n_samp, n_importance=n_samp, perturb=0.0, raw_noise_std=0.0,
+        white_bkgd=True, use_viewdirs=True,
+    )
+    times = scene.times[scene.i_test] if scene.times is not None else None
+    rgbs, _ = render_path(
+        field, coarse, fine, scene.poses[scene.i_test], scene, rcfg, chunk=8192,
+        times=times,
+    )
+    gt = scene.images[scene.i_test]
+    frames = [psnr(g, np.clip(p, 0, 1), data_range=1.0) for g, p in zip(gt, rgbs)]
+    mean = float(np.mean(frames))
+    print(f"[eval] {label}: mean test PSNR {mean:.3f} dB  frames={['%.2f' % f for f in frames]}")
+    return mean, frames
+
+
+def main():
+    import argparse as ap
+
+    mode = os.environ.get("PARITY_MODE", "nerf")
+    iters = int(os.environ.get("PARITY_ITERS", "2000"))
+    out = os.environ.get("PARITY_OUT", "/tmp/parity")
+    os.makedirs(out, exist_ok=True)
+
+    data = os.path.join(out, f"data_{mode}")
+    if not os.path.isdir(data):
+        from swnerf_tpu.data.synthetic import write_blender_scene
+
+        size = int(os.environ.get("PARITY_SIZE", "64"))
+        write_blender_scene(
+            data, n_train=20, n_val=2, n_test=3, size=size, dynamic=(mode == "dnerf")
+        )
+        print("scene written:", data)
+
+    cfg, _ = build_config(mode, out, data, iters)
+    ref_cfg = os.path.join(out, f"ref_{mode}.txt")
+    our_cfg = os.path.join(out, f"our_{mode}.txt")
+    write_config(ref_cfg, cfg, f"ref_{mode}", os.path.join(out, "logs_ref"))
+    write_config(our_cfg, cfg, f"our_{mode}", os.path.join(out, "logs_our"))
+
+    which = os.environ.get("PARITY_RUN", "both")
+    t_ref = t_our = None
+    if which in ("both", "ref"):
+        t_ref = run_reference(mode, ref_cfg, iters)
+        print(f"reference trained in {t_ref:.0f}s")
+    if which in ("both", "ours"):
+        t_our = run_ours(mode, our_cfg, iters)
+        print(f"swnerf_tpu trained in {t_our:.0f}s")
+
+    # Identical eval of both final checkpoints.
+    scene_args = ap.Namespace(
+        dataset_type="blender" if mode == "nerf" else "blender_dnerf",
+        datadir=data, half_res=False, testskip=1, white_bkgd=True,
+        render_test=False,
+    )
+    ref_tar = os.path.join(out, "logs_ref", f"ref_{mode}", f"{iters:06d}.tar")
+    our_tar = os.path.join(out, "logs_our", f"our_{mode}", f"{iters:06d}.tar")
+    results = {"mode": mode, "iters": iters}
+    if os.path.exists(ref_tar):
+        results["ref_psnr"], results["ref_frames"] = eval_ckpt(
+            mode, ref_tar, scene_args, "reference(torch)"
+        )
+        results["ref_train_s"] = t_ref
+    if os.path.exists(our_tar):
+        results["our_psnr"], results["our_frames"] = eval_ckpt(
+            mode, our_tar, scene_args, "swnerf_tpu"
+        )
+        results["our_train_s"] = t_our
+    if "ref_psnr" in results and "our_psnr" in results:
+        results["delta_db"] = results["our_psnr"] - results["ref_psnr"]
+        print(f"DELTA (ours - reference): {results['delta_db']:+.3f} dB")
+
+    with open(os.path.join(out, f"parity_{mode}.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", os.path.join(out, f"parity_{mode}.json"))
+
+
+if __name__ == "__main__":
+    main()

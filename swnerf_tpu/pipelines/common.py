@@ -319,6 +319,94 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
+def steps_per_dispatch(default_tpu: int = 20) -> int:
+    """How many train steps to fuse into one dispatch (lax.scan).
+
+    One dispatch per step leaves the device idle during host round-trips —
+    especially costly through remote tunnels; a K-step scan amortizes it
+    (CLAUDE.md benchmarking note; the reference pays a full Python loop +
+    kernel-launch round trip per step, run.py:635-700). Default: 20 on TPU,
+    1 elsewhere (CPU tests keep single-step semantics). Override with
+    SWNERF_STEPS_PER_DISPATCH."""
+    env = os.environ.get("SWNERF_STEPS_PER_DISPATCH")
+    if env:
+        return max(1, int(env))
+    return default_tpu if jax.devices()[0].platform == "tpu" else 1
+
+
+def _scan_jit(step_k, mesh, sharded_argnums, n_args):
+    """Jit a K-step scan wrapper; sharded args carry [K, N, ...] batches
+    sharded on axis 1 (the rays axis)."""
+    if mesh is None:
+        return jax.jit(step_k, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swnerf_tpu.parallel.mesh import RAYS_AXIS
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(None, RAYS_AXIS))
+    in_sh = tuple(shd if i in set(sharded_argnums) else rep for i in range(n_args))
+    return jax.jit(step_k, in_shardings=in_sh, out_shardings=rep, donate_argnums=(0,))
+
+
+def make_pool_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+    """K pool steps per dispatch: consumes idx [K, N_rand]; returns the
+    final state and the LAST step's metrics (matching what a per-step loop
+    would print at the chunk boundary)."""
+
+    def step_k(state, pool, idx_k, rng):
+        def body(st, idx):
+            batch = pool[idx]
+            rays_o, rays_d, target = batch[:, 0], batch[:, 1], batch[:, 2]
+            rays = build_rays(
+                rays_o, rays_d, scene.near, scene.far,
+                use_viewdirs=cfg.use_viewdirs, ndc=scene.ndc,
+                H=scene.H, W=scene.W, focal=scene.focal,
+            )
+            return train_step(st, rays, target, rng)
+
+        state, ms = jax.lax.scan(body, state, idx_k)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return _scan_jit(step_k, mesh, (2,), 4)
+
+
+def make_image_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+    """K per-image steps per dispatch: consumes img_i [K] and pixels
+    [K, N_rand, 2] (host keeps the precrop curriculum / image choice)."""
+    K = scene.K
+    H, W = scene.H, scene.W
+
+    def step_k(state, images, poses, img_i_k, pixels_k, rng):
+        def body(st, x):
+            img_i, pixels = x
+            c2w = poses[img_i][:3, :4]
+            rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
+            target = images[img_i][pixels[:, 0], pixels[:, 1]]
+            rays = build_rays(
+                rays_o, rays_d, scene.near, scene.far,
+                use_viewdirs=cfg.use_viewdirs, ndc=scene.ndc,
+                H=H, W=W, focal=scene.focal,
+            )
+            return train_step(st, rays, target, rng)
+
+        state, ms = jax.lax.scan(body, state, (img_i_k, pixels_k))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return _scan_jit(step_k, mesh, (4,), 6)
+
+
+def chunk_until_event(i: int, n_iters: int, k_max: int, cadences) -> int:
+    """Largest k <= k_max such that steps i..i+k-1 cross no cadence boundary
+    except at the chunk's END — so checkpoints/videos/logs land on exactly
+    the same iterations as a single-step loop."""
+    k = min(k_max, n_iters - i)
+    for c in cadences:
+        if c and c > 0:
+            k = min(k, c - ((i - 1) % c))
+    return max(1, k)
+
+
 # ---------------------------------------------------------------------------
 # Path rendering + eval
 # ---------------------------------------------------------------------------

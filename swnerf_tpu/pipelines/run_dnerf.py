@@ -210,6 +210,41 @@ def make_dnerf_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_dnerf_scan_step(
+    field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float,
+    fine_field=None, mesh=None,
+):
+    """K D-NeRF steps per dispatch: consumes img_i [K], pixels [K, N, 2],
+    neighbor_time [K]; returns the final state and the LAST step's metrics.
+    Scan semantics are bit-identical to the per-step loop (the per-step RNG
+    is fold_in(rng, state.step))."""
+    inner = make_dnerf_step(
+        field, cfg, optimizer, scene, add_tv_loss, tv_loss_weight,
+        fine_field=fine_field, mesh=None,
+    )
+    # Unwrap the jit: scan over the raw python step for one fused program.
+    raw = inner.__wrapped__
+
+    def step_k(state, images, poses, times, img_i_k, pixels_k, neighbor_k, rng):
+        def body(st, x):
+            img_i, pixels, nt = x
+            return raw(st, images, poses, times, img_i, pixels, nt, rng)
+
+        state, ms = jax.lax.scan(body, state, (img_i_k, pixels_k, neighbor_k))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    if mesh is None:
+        return jax.jit(step_k, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swnerf_tpu.parallel.mesh import RAYS_AXIS
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(None, RAYS_AXIS))
+    in_sh = (rep, rep, rep, rep, rep, shd, rep, rep)
+    return jax.jit(step_k, in_shardings=in_sh, out_shardings=rep, donate_argnums=(0,))
+
+
 def pick_neighbor_time(rng: np.random.Generator, times: np.ndarray, img_i: int) -> float:
     """Random prev/next neighbor, random interpolation toward it
     (run_dnerf.py:690-709)."""
@@ -274,10 +309,18 @@ def train(argv=None):
         scene, args.N_rand, args.precrop_iters, args.precrop_frac,
         precrop_iters_time=args.precrop_iters_time,
     )
+    from swnerf_tpu.pipelines.common import chunk_until_event, steps_per_dispatch
+
+    k_disp = steps_per_dispatch()
     step_fn = make_dnerf_step(
         field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
         fine_field=fine_field, mesh=mesh,
     )
+    if k_disp > 1:
+        scan_fn = make_dnerf_scan_step(
+            field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
+            fine_field=fine_field, mesh=mesh,
+        )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
@@ -294,16 +337,40 @@ def train(argv=None):
         rcfg.n_samples + (rcfg.n_samples + rcfg.n_importance if rcfg.n_importance else 0)
     )
 
+    cadences = (args.i_weights, args.i_print, args.i_img, args.i_video, args.i_testset)
+
     print("Begin")
-    for i in range(start + 1, n_iters):
-        img_i, pixels = sampler.next(i)
-        neighbor_time = (
-            pick_neighbor_time(host_rng, scene.times, img_i) if args.add_tv_loss else 0.0
-        )
-        state, metrics = step_fn(
-            state, images_dev, poses_dev, times_dev, img_i,
-            jnp.asarray(pixels), jnp.float32(neighbor_time), base_rng,
-        )
+    metrics = {}
+    i = start + 1
+    while i < n_iters:
+        k = chunk_until_event(i, n_iters, k_disp, cadences) if k_disp > 1 else 1
+        if k == 1:
+            img_i, pixels = sampler.next(i)
+            neighbor_time = (
+                pick_neighbor_time(host_rng, scene.times, img_i) if args.add_tv_loss else 0.0
+            )
+            state, metrics = step_fn(
+                state, images_dev, poses_dev, times_dev, img_i,
+                jnp.asarray(pixels), jnp.float32(neighbor_time), base_rng,
+            )
+        else:
+            picks = [sampler.next(i + j) for j in range(k)]
+            img_i_k = np.asarray([p[0] for p in picks], np.int32)
+            pixels_k = np.stack([p[1] for p in picks])
+            neighbor_k = np.asarray(
+                [
+                    pick_neighbor_time(host_rng, scene.times, int(ii))
+                    if args.add_tv_loss
+                    else 0.0
+                    for ii in img_i_k
+                ],
+                np.float32,
+            )
+            state, metrics = scan_fn(
+                state, images_dev, poses_dev, times_dev, jnp.asarray(img_i_k),
+                jnp.asarray(pixels_k), jnp.asarray(neighbor_k), base_rng,
+            )
+        i = i + k - 1
 
         if i % args.i_weights == 0:
             save_dnerf_ckpt(args, kind, state, i)
@@ -351,7 +418,10 @@ def train(argv=None):
             )
             print("Saved test set")
 
+        i += 1
+
     logger.close()
+    return {k: float(v) for k, v in metrics.items()}
 
 
 if __name__ == "__main__":

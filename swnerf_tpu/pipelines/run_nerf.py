@@ -183,15 +183,31 @@ def train(argv=None):
     train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
 
+    # K steps per dispatch: a lax.scan inside one jit amortizes the per-step
+    # host round-trip (the reference pays one Python-loop + launch round
+    # trip per iteration, run.py:635-700). K=1 keeps exact single-step
+    # semantics (CPU default); on TPU the default is 20.
+    from swnerf_tpu.pipelines.common import (
+        chunk_until_event,
+        make_image_scan_step,
+        make_pool_scan_step,
+        steps_per_dispatch,
+    )
+
+    k_disp = steps_per_dispatch()
     use_batching = not args.no_batching
     if use_batching:
         sampler = RayPoolSampler(scene, args.N_rand)
         step_fn = make_pool_step(train_step, rcfg, scene, mesh=mesh)
+        if k_disp > 1:
+            scan_fn = make_pool_scan_step(train_step, rcfg, scene, mesh=mesh)
         if mesh is not None:
             sampler.pool = replicate(mesh, sampler.pool)
     else:
         sampler = ImageSampler(scene, args.N_rand, args.precrop_iters, args.precrop_frac)
         step_fn = make_image_step(train_step, rcfg, scene, mesh=mesh)
+        if k_disp > 1:
+            scan_fn = make_image_scan_step(train_step, rcfg, scene, mesh=mesh)
         images_dev = jnp.asarray(scene.images)
         poses_dev = jnp.asarray(scene.poses[:, :3, :4])
         if mesh is not None:
@@ -203,22 +219,41 @@ def train(argv=None):
     samples_per_step = args.N_rand * (
         rcfg.n_samples + (rcfg.n_samples + rcfg.n_importance if rcfg.n_importance else 0)
     )
+    cadences = (args.i_weights, args.i_video, args.i_testset, args.i_print)
 
     print("Training Begin")
     print("TRAIN views are", scene.i_train)
     print("TEST views are", scene.i_test)
 
     metrics = {}
-    for i in range(start + 1, n_iters):
+    i = start + 1
+    while i < n_iters:
+        # Chunks never cross a checkpoint/video/testset/print boundary, so
+        # every artifact lands on the same iteration as a per-step loop.
+        k = chunk_until_event(i, n_iters, k_disp, cadences) if k_disp > 1 else 1
         profiler.step(i, start)
         if use_batching:
-            idx = jnp.asarray(sampler.next_indices())
-            state, metrics = step_fn(state, sampler.pool, idx, base_rng)
+            if k == 1:
+                idx = jnp.asarray(sampler.next_indices())
+                state, metrics = step_fn(state, sampler.pool, idx, base_rng)
+            else:
+                idx_k = np.stack([sampler.next_indices() for _ in range(k)])
+                state, metrics = scan_fn(state, sampler.pool, jnp.asarray(idx_k), base_rng)
         else:
-            img_i, pixels = sampler.next(i)
-            state, metrics = step_fn(
-                state, images_dev, poses_dev, img_i, jnp.asarray(pixels), base_rng
-            )
+            if k == 1:
+                img_i, pixels = sampler.next(i)
+                state, metrics = step_fn(
+                    state, images_dev, poses_dev, img_i, jnp.asarray(pixels), base_rng
+                )
+            else:
+                picks = [sampler.next(i + j) for j in range(k)]
+                img_i_k = np.asarray([p[0] for p in picks], np.int32)
+                pixels_k = np.stack([p[1] for p in picks])
+                state, metrics = scan_fn(
+                    state, images_dev, poses_dev, jnp.asarray(img_i_k),
+                    jnp.asarray(pixels_k), base_rng,
+                )
+        i = i + k - 1  # the chunk's last completed iteration
 
         if i % args.i_weights == 0:
             save_vanilla_ckpt(args, state, i)
@@ -249,6 +284,8 @@ def train(argv=None):
             tp = logger.throughput(i, samples_per_step, jax.device_count())
             rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
             print(f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
+
+        i += 1
 
     profiler.close()
     logger.close()

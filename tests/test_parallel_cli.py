@@ -87,6 +87,82 @@ class TestShardedCLI:
         assert recs and all(np.isfinite(r["total_loss"]) for r in recs)
 
 
+class TestMultiStepDispatch:
+    """K train steps fused into one lax.scan dispatch must reproduce the
+    per-step loop exactly (same fold_in(rng, step) keys, same artifacts on
+    the same iterations)."""
+
+    def _run(self, dataset, logs, monkeypatch, k, extra=()):
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        monkeypatch.setenv("SWNERF_STEPS_PER_DISPATCH", str(k))
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "0")
+        train(_base_args(dataset, logs, list(extra)))
+        return _load_sd(logs / "tiny" / "000010.tar")
+
+    def test_pool_scan_matches_per_step(self, tmp_path, dataset, monkeypatch):
+        sd_scan = self._run(dataset, tmp_path / "scan", monkeypatch, 4,
+                            ["--N_importance", "4"])
+        sd_step = self._run(dataset, tmp_path / "step", monkeypatch, 1,
+                            ["--N_importance", "4"])
+        for key in sd_scan:
+            np.testing.assert_array_equal(sd_scan[key], sd_step[key], err_msg=key)
+
+    def test_image_scan_matches_per_step(self, tmp_path, dataset, monkeypatch):
+        sd_scan = self._run(dataset, tmp_path / "scan", monkeypatch, 4, ["--no_batching"])
+        sd_step = self._run(dataset, tmp_path / "step", monkeypatch, 1, ["--no_batching"])
+        for key in sd_scan:
+            np.testing.assert_array_equal(sd_scan[key], sd_step[key], err_msg=key)
+
+    def test_scan_with_mesh(self, tmp_path, dataset, monkeypatch):
+        """Scan dispatch composes with the rays mesh (K batches sharded on
+        axis 1) and still matches single-device single-step training."""
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        monkeypatch.setenv("SWNERF_STEPS_PER_DISPATCH", "5")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        train(_base_args(dataset, tmp_path / "meshscan"))
+        sd_mesh = _load_sd(tmp_path / "meshscan" / "tiny" / "000010.tar")
+        sd_ref = self._run(dataset, tmp_path / "refrun", monkeypatch, 1)
+        for key in sd_mesh:
+            np.testing.assert_allclose(
+                sd_mesh[key], sd_ref[key], atol=2e-5, err_msg=key
+            )
+
+    def test_dnerf_scan_matches_per_step(self, tmp_path, monkeypatch):
+        from tests.test_config_data import _write_blender_dataset
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        data = tmp_path / "ddata"
+        _write_blender_dataset(str(data), n=3, size=8, dynamic=True)
+        dnerf_args = TestShardedDnerfFamily()._dnerf_args
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "0")
+        sds = {}
+        for tag, k in (("scan", "4"), ("step", "1")):
+            monkeypatch.setenv("SWNERF_STEPS_PER_DISPATCH", k)
+            logs = tmp_path / tag
+            train(dnerf_args(data, logs, ["--add_tv_loss"]))
+            ckpt = torch.load(
+                str(logs / "tiny" / "000010.tar"), map_location="cpu", weights_only=False
+            )
+            sds[tag] = {kk: np.asarray(v) for kk, v in ckpt["network_fn_state_dict"].items()}
+        for key in sds["scan"]:
+            np.testing.assert_array_equal(sds["scan"][key], sds["step"][key], err_msg=key)
+
+    def test_chunking_respects_cadences(self):
+        from swnerf_tpu.pipelines.common import chunk_until_event
+
+        # i=1, print every 5: chunks 4@.. wait — k = 5 - ((1-1) % 5) = 5
+        assert chunk_until_event(1, 1000, 20, (5,)) == 5
+        assert chunk_until_event(6, 1000, 3, (5,)) == 3
+        assert chunk_until_event(9, 1000, 3, (5,)) == 2  # stops AT 10
+        assert chunk_until_event(999, 1000, 20, (10000,)) == 1  # n_iters cap
+        assert chunk_until_event(1, 1000, 20, (0, 7)) == 7  # zero cadence ignored
+
+
 class TestShardedDnerfFamily:
     def _dnerf_args(self, data_root, log_root, extra=()):
         return [
