@@ -1,0 +1,104 @@
+"""Measure the LIVE run_nerf CLI loop on the real TPU at the lego workload
+shape (N_rand=1024, 64+128 samples, D=8/W=256) — the VERDICT round-1 gap:
+bench.py's lax.scan microbench said 23M samp/s/chip while the CLI loop was
+last seen at 15.9M. Runs the actual trainer at K=1 (per-step dispatch) and
+K=20 (scan dispatch) and reports the steady-state ray-samples/sec/chip from
+the trainer's own throughput counter (metrics.jsonl).
+
+Run on the axon TPU (NO platform overrides):
+    python /root/repo/benchmarks/tpu_cli_throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OUT = os.environ.get("CLI_BENCH_OUT", "/tmp/tpu_cli_bench")
+
+
+def write_scene(data):
+    env = dict(os.environ)
+    env.update(
+        XLA_FLAGS="", PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+        PYTHONPATH="/root/repo",
+    )
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from swnerf_tpu.data.synthetic import write_blender_scene;"
+        f"write_blender_scene({data!r}, n_train=20, n_val=2, n_test=2, size=100)"
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True)
+
+
+def run_cli(data, logs, exp, k, iters, mode_flags):
+    env = dict(os.environ)
+    env.update(
+        # PREPEND to PYTHONPATH: /root/.axon_site must stay on it or the
+        # sitecustomize that registers the axon TPU backend never runs.
+        PYTHONPATH="/root/repo:" + env.get("PYTHONPATH", ""),
+        SWNERF_MAX_ITERS=str(iters + 1),
+        SWNERF_STEPS_PER_DISPATCH=str(k),
+    )
+    args = [
+        sys.executable, "-m", "swnerf_tpu.pipelines.run_nerf",
+        "--expname", exp, "--basedir", logs, "--datadir", data,
+        "--dataset_type", "blender", "--white_bkgd", "--use_viewdirs",
+        "--netdepth", "8", "--netwidth", "256",
+        "--netdepth_fine", "8", "--netwidth_fine", "256",
+        "--multires", "10", "--multires_views", "4",
+        "--N_rand", "1024", "--N_samples", "64", "--N_importance", "128",
+        "--lrate", "5e-4", "--raw_noise_std", "1e0",
+        "--chunk", "32768", "--precrop_iters", "0",
+        "--i_weights", "1000000", "--i_print", "50",
+        "--i_video", "1000000", "--i_testset", "1000000",
+    ] + mode_flags
+    t0 = time.time()
+    r = subprocess.run(args, env=env, capture_output=True, text=True)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        print(f"[{exp}] FAILED rc={r.returncode}\n{r.stdout[-2000:]}\n{r.stderr[-3000:]}")
+        return None
+    rates = []
+    with open(os.path.join(logs, exp, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "ray_samples_per_sec_per_chip" in rec:
+                rates.append(rec["ray_samples_per_sec_per_chip"])
+    best = max(rates) if rates else 0.0
+    steady = max(rates[1:]) if len(rates) > 1 else best
+    print(
+        f"[{exp}] K={k}: steady {steady/1e6:.2f}M samp/s/chip "
+        f"(best {best/1e6:.2f}M, {len(rates)} windows, wall {wall:.0f}s)",
+        flush=True,
+    )
+    return steady
+
+
+def main():
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    data = os.path.join(OUT, "data")
+    logs = os.path.join(OUT, "logs")
+    write_scene(data)
+    print("scene written", flush=True)
+
+    results = {}
+    results["image_k1"] = run_cli(data, logs, "img_k1", 1, 400, ["--no_batching"])
+    results["image_k20"] = run_cli(data, logs, "img_k20", 20, 600, ["--no_batching"])
+    results["pool_k20"] = run_cli(data, logs, "pool_k20", 20, 600, [])
+
+    with open(os.path.join(OUT, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

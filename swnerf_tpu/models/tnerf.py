@@ -98,7 +98,26 @@ def apply_tnerf(params, cfg: TNeRFConfig, pts_emb, views_emb, time_emb):
     return jnp.concatenate([rgb, sigma], -1)
 
 
-def make_tnerf_field(cfg: TNeRFConfig) -> Field:
+def _use_fused(cfg: TNeRFConfig) -> bool:
+    import os
+
+    from swnerf_tpu.ops.pallas.raymarch import supports_tnerf
+
+    return (
+        supports_tnerf(cfg)
+        and jax.devices()[0].platform == "tpu"
+        and os.environ.get("SWNERF_FUSED", "1") != "0"
+        and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+    )
+
+
+def make_tnerf_field(cfg: TNeRFConfig, fused=None, fused_interpret: bool = False) -> Field:
+    """``fused=None`` auto-selects the fused ELU Pallas kernel on TPU when
+    the architecture is supported (see ops.pallas.raymarch.supports_tnerf);
+    True/False force it. ``fused_interpret`` runs the kernel in interpreter
+    mode (CPU tests)."""
+    use_fused = _use_fused(cfg) if fused is None else fused
+
     def init(rng):
         return init_tnerf_params(rng, cfg)
 
@@ -108,7 +127,22 @@ def make_tnerf_field(cfg: TNeRFConfig) -> Field:
         views_emb = positional_encoding(vd, cfg.nf_views)
         t = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
         time_emb = positional_encoding(t, cfg.nf_time)
-        raw = apply_tnerf(params, cfg, pts_emb, views_emb, time_emb)
+        if use_fused:
+            import os
+
+            from swnerf_tpu.ops.pallas.raymarch import fused_tnerf
+
+            cdt = (
+                jnp.bfloat16
+                if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+                else jnp.float32
+            )
+            raw = fused_tnerf(
+                params, cfg, pts_emb, views_emb, time_emb,
+                interpret=fused_interpret, compute_dtype=cdt,
+            )
+        else:
+            raw = apply_tnerf(params, cfg, pts_emb, views_emb, time_emb)
         return raw, {}
 
     return Field(init, apply)

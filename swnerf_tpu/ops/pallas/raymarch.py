@@ -193,11 +193,35 @@ def _mmt(a, b):
     )
 
 
-def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int, plain_head: bool = False):
-    """emb/vemb [B, 128] (compute dtype) -> raw out [B, 128] f32
-    (lanes 0-2 rgb, 3 alpha). ``plain_head=True`` skips the view branch and
-    applies a single [W, 128] head (lanes 0-2 = output) — the D-NeRF
-    deformation-MLP shape (model.py:113-136); vemb is ignored."""
+def _act_fwd(z, act: str):
+    """Trunk activation on the f32 pre-activation. ELU is written as an f32
+    where + exp (no bf16 compares on v5e)."""
+    if act == "relu":
+        return jnp.maximum(z, 0.0)
+    # elu: z > 0 ? z : exp(z) - 1
+    return jnp.where(z > 0.0, z, jnp.exp(z) - 1.0)
+
+
+def _act_grad(h, act: str):
+    """d act / d z from the stored POST-activation (remat-friendly): relu'
+    = [h > 0]; elu' = 1 for h > 0 else h + 1 (h = exp(z) - 1)."""
+    h32 = h.astype(jnp.float32)
+    if act == "relu":
+        return (h32 > 0).astype(jnp.float32)
+    return jnp.where(h32 > 0, 1.0, h32 + 1.0)
+
+
+def _trunk_forward(
+    emb, vemb, nxt, D: int, skip: int, W: int, plain_head: bool = False,
+    act: str = "relu", rgb_relu: bool = False,
+):
+    """emb/vemb [B, L] (compute dtype) -> raw out [B, 128] f32
+    (lanes 0-2 rgb, 3 alpha/sigma). ``plain_head=True`` skips the view
+    branch and applies a single [W, 128] head (lanes 0-2 = output) — the
+    D-NeRF deformation-MLP shape (model.py:113-136); vemb is ignored.
+    ``act`` selects the trunk/view activation (T-NeRF uses ELU,
+    model.py:152-210); ``rgb_relu`` applies the T-NeRF ReLU color head
+    (model.py:183-186)."""
     cdt = emb.dtype
     h = None
     for i in range(D):
@@ -207,7 +231,7 @@ def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int, plain_head: bool =
         else:
             w, b = nxt(), nxt()
             z = _mm(emb if i == 0 else h, w) + b
-        h = jnp.maximum(z, 0.0).astype(cdt)
+        h = _act_fwd(z, act).astype(cdt)
 
     if plain_head:
         w_out, b_out = nxt(), nxt()
@@ -219,20 +243,25 @@ def _trunk_forward(emb, vemb, nxt, D: int, skip: int, W: int, plain_head: bool =
     feat = fa[:, :W].astype(cdt)  # no activation (model.py:50)
 
     w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-    hv = jnp.maximum(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
+    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, act).astype(cdt)
     w_rgb, b_rgb = nxt(), nxt()
     rgb = _mm(hv, w_rgb) + b_rgb
+    if rgb_relu:
+        rgb = jnp.maximum(rgb, 0.0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
     return jnp.where(lane < 3, rgb, jnp.where(lane == 3, alpha, 0.0))
 
 
-def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bool = False):
+def _trunk_backward(
+    emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bool = False,
+    act: str = "relu", rgb_relu: bool = False,
+):
     """Recompute + reverse. Returns (grads list in flat order, demb, dvemb)
     — all f32. Masks compared in f32 (no bf16 cmp on v5e)."""
     cdt = emb.dtype
 
-    # forward recompute keeping post-relu activations
+    # forward recompute keeping post-activation values
     hs = []
     ws = []
     h = None
@@ -245,7 +274,7 @@ def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bo
             w, b = nxt(), nxt()
             z = _mm(emb if i == 0 else h, w) + b
             ws.append((w,))
-        h = jnp.maximum(z, 0.0).astype(cdt)
+        h = _act_fwd(z, act).astype(cdt)
         hs.append(h)
 
     if plain_head:
@@ -257,7 +286,7 @@ def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bo
         demb = jnp.zeros(emb.shape, jnp.float32)
         trunk_grads = []
         for i in range(D - 1, -1, -1):
-            dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
+            dz = (dh * _act_grad(hs[i], act)).astype(cdt)
             db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
             if i == skip + 1:
                 w_top, w_bot = ws[i]
@@ -282,17 +311,23 @@ def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bo
     fa = _mm(h, fa_w) + fa_b
     feat = fa[:, :W].astype(cdt)
     w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-    hv = jnp.maximum(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, 0.0).astype(cdt)
-    w_rgb, _b_rgb = nxt(), nxt()
+    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, act).astype(cdt)
+    w_rgb, b_rgb = nxt(), nxt()
 
     # backward
     lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    g_rgb = jnp.where(lane < 3, g, 0.0).astype(cdt)
+    g_rgb32 = jnp.where(lane < 3, g, 0.0)
+    if rgb_relu:
+        # T-NeRF ReLU color head (model.py:186): mask by the recomputed
+        # pre-clip output.
+        u = _mm(hv, w_rgb) + b_rgb
+        g_rgb32 = g_rgb32 * (u > 0.0).astype(jnp.float32)
+    g_rgb = g_rgb32.astype(cdt)
     dalpha = jnp.where(lane == 3, g, 0.0)
 
-    dhv = _mmt(g_rgb, w_rgb) * (hv.astype(jnp.float32) > 0)
+    dhv = _mmt(g_rgb, w_rgb) * _act_grad(hv, act)
     dW_rgb = _tmm(hv, g_rgb)
-    db_rgb = jnp.sum(g_rgb.astype(jnp.float32), axis=0, keepdims=True)
+    db_rgb = jnp.sum(g_rgb32, axis=0, keepdims=True)
     dhv_c = dhv.astype(cdt)
 
     dfeat = _mmt(dhv_c, w_vf)
@@ -312,7 +347,7 @@ def _trunk_backward(emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bo
     demb = jnp.zeros(emb.shape, jnp.float32)
     trunk_grads = []
     for i in range(D - 1, -1, -1):
-        dz = (dh * (hs[i].astype(jnp.float32) > 0)).astype(cdt)
+        dz = (dh * _act_grad(hs[i], act)).astype(cdt)
         db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
         if i == skip + 1:
             w_top, w_bot = ws[i]
@@ -349,14 +384,19 @@ def _ref_iter(refs):
     return nxt
 
 
-def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int):
+def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int,
+                act: str = "relu", rgb_relu: bool = False):
     out_ref = refs[-1]
     nxt = _ref_iter(refs[:-1])
     cdt = refs[0].dtype
-    out_ref[:] = _trunk_forward(emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), nxt, D, skip, W)
+    out_ref[:] = _trunk_forward(
+        emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), nxt, D, skip, W,
+        act=act, rgb_relu=rgb_relu,
+    )
 
 
-def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
+def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int,
+                act: str = "relu", rgb_relu: bool = False):
     n_w = (len(refs) - 2) // 2
     wrefs = refs[:n_w]
     grefs = refs[n_w:-2]
@@ -370,7 +410,8 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
 
     nxt = _ref_iter(wrefs)
     grads, demb, dvemb = _trunk_backward(
-        emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), g_ref[:], nxt, D, skip, W
+        emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), g_ref[:], nxt, D, skip, W,
+        act=act, rgb_relu=rgb_relu,
     )
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
@@ -378,15 +419,19 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int):
     dvemb_ref[:] = dvemb
 
 
-def _fwd_kernel_plain(emb_ref, *refs, D: int, skip: int, W: int):
+def _fwd_kernel_plain(emb_ref, *refs, D: int, skip: int, W: int,
+                      act: str = "relu", rgb_relu: bool = False):
+    del rgb_relu  # no color head on the plain variant
     out_ref = refs[-1]
     nxt = _ref_iter(refs[:-1])
     cdt = refs[0].dtype
     emb = emb_ref[:].astype(cdt)
-    out_ref[:] = _trunk_forward(emb, emb, nxt, D, skip, W, plain_head=True)
+    out_ref[:] = _trunk_forward(emb, emb, nxt, D, skip, W, plain_head=True, act=act)
 
 
-def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int):
+def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int,
+                      act: str = "relu", rgb_relu: bool = False):
+    del rgb_relu
     n_w = (len(refs) - 1) // 2
     wrefs = refs[:n_w]
     grefs = refs[n_w:-1]
@@ -400,7 +445,9 @@ def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int):
 
     emb = emb_ref[:].astype(cdt)
     nxt = _ref_iter(wrefs)
-    grads, demb, _ = _trunk_backward(emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True)
+    grads, demb, _ = _trunk_backward(
+        emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True, act=act
+    )
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
     demb_ref[:] = demb
@@ -411,7 +458,9 @@ def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_raw(pts_ref, vd_ref, *refs, D: int, skip: int, W: int):
+def _fwd_kernel_raw(pts_ref, vd_ref, *refs, D: int, skip: int, W: int,
+                    act: str = "relu", rgb_relu: bool = False):
+    del act, rgb_relu  # raw variant serves the vanilla family only
     # refs: e0p, sp, php, mkp, e0v, sv, phv, mkv, weights..., out
     out_ref = refs[-1]
     consts = [r[:] for r in refs[:8]]
@@ -422,7 +471,9 @@ def _fwd_kernel_raw(pts_ref, vd_ref, *refs, D: int, skip: int, W: int):
     out_ref[:] = _trunk_forward(emb, vemb, nxt, D, skip, W)
 
 
-def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int):
+def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int,
+                    act: str = "relu", rgb_relu: bool = False):
+    del act, rgb_relu
     consts = [r[:] for r in refs[:8]]
     rest = refs[8:]
     n_w = (len(rest) - 2) // 2
@@ -479,7 +530,10 @@ def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
     if flat[0].dtype == jnp.float32:
         block = min(block, 1024)
     return pl.pallas_call(
-        functools.partial(kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
+        functools.partial(
+            kernel, D=meta["D"], skip=meta["skip"], W=meta["W"],
+            act=meta.get("act", "relu"), rgb_relu=meta.get("rgb_relu", False),
+        ),
         out_shape=jax.ShapeDtypeStruct((P, 128), jnp.float32),
         grid=(P // block,),
         in_specs=[_tile_spec(block, t.shape[-1]) for t in tiles]
@@ -498,7 +552,10 @@ def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lane
         out_shapes.append(jax.ShapeDtypeStruct((P, lanes), jnp.float32))
         out_specs.append(_tile_spec(block, lanes))
     outs = pl.pallas_call(
-        functools.partial(kernel, D=meta["D"], skip=meta["skip"], W=meta["W"]),
+        functools.partial(
+            kernel, D=meta["D"], skip=meta["skip"], W=meta["W"],
+            act=meta.get("act", "relu"), rgb_relu=meta.get("rgb_relu", False),
+        ),
         out_shape=tuple(out_shapes),
         grid=(P // block,),
         in_specs=[_tile_spec(block, t.shape[-1]) for t in tiles]
@@ -542,30 +599,31 @@ def fused_trunk(
     )
     flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     out = _trunk_call(
-        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret
+        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
+        "relu", False,
     )
     return out[:n, :4].reshape(*lead, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret):
-    meta = {"D": D, "skip": skip, "W": W}
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu):
+    meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu}
     P = emb_p.shape[0]
     return _run_fwd(_fwd_kernel, [emb_p, vemb_p], [], list(flat), meta, block, interpret, P)
 
 
-def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret):
-    out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret)
+def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu):
+    out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu)
     return out, (flat, emb_p, vemb_p)
 
 
-def _trunk_call_bwd(D, skip, W, block, interpret, res, g):
+def _trunk_call_bwd(D, skip, W, block, interpret, act, rgb_relu, res, g):
     flat, emb_p, vemb_p = res
-    meta = {"D": D, "skip": skip, "W": W}
+    meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu}
     P = emb_p.shape[0]
     dflat, (demb, dvemb) = _run_bwd(
         _bwd_kernel, [emb_p, vemb_p], g, [], list(flat), meta, block, interpret, P,
-        din_lanes=[128, 128],
+        din_lanes=[emb_p.shape[1], vemb_p.shape[1]],
     )
     return tuple(dflat), demb.astype(emb_p.dtype), dvemb.astype(vemb_p.dtype)
 
@@ -582,7 +640,7 @@ def supports_time_net(cfg) -> bool:
     return (
         cfg.netwidth % 128 == 0
         and len(cfg.skips) <= 1
-        and cfg.input_ch + cfg.input_ch_time <= 128
+        and cfg.input_ch + cfg.input_ch_time <= 256  # up to 2 lane blocks
         and cfg.netdepth >= 2
         and (not cfg.skips or 0 < cfg.skips[0] < cfg.netdepth - 1)
     )
@@ -602,20 +660,23 @@ def pack_time_params(tp, cfg, dtype=jnp.float32) -> Tuple[list, dict]:
     def pad_rows(w, rows):
         return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
 
+    L = _round_up(cfg.input_ch + cfg.input_ch_time, 128)
     flat = []
     for i, lyr in enumerate(tp["layers"]):
         w = lyr["w"]
         if i == skip + 1:
-            flat.append(cast(pad_rows(w[: cfg.input_ch], 128)))
+            # skip concatenates embed(x) ONLY (model.py:128-134); rows past
+            # input_ch stay zero so the kernel's emb@w_top ignores embed(t).
+            flat.append(cast(pad_rows(w[: cfg.input_ch], L)))
             flat.append(cast(w[cfg.input_ch :]))
         elif i == 0:
-            flat.append(cast(pad_rows(w, 128)))
+            flat.append(cast(pad_rows(w, L)))
         else:
             flat.append(cast(w))
         flat.append(lyr["b"][None, :].astype(jnp.float32))
     flat.append(cast(jnp.pad(tp["out"]["w"], ((0, 0), (0, 125)))))
     flat.append(jnp.pad(tp["out"]["b"], (0, 125))[None, :].astype(jnp.float32))
-    return flat, {"D": cfg.netdepth, "W": W, "skip": skip}
+    return flat, {"D": cfg.netdepth, "W": W, "skip": skip, "L": L}
 
 
 def fused_time_net(
@@ -634,8 +695,9 @@ def fused_time_net(
     te = time_emb.reshape(-1, time_emb.shape[-1])
     n = pe.shape[0]
     P = _round_up(max(n, block), block)
+    L = _round_up(pe.shape[-1] + te.shape[-1], 128)
     emb_p = (
-        jnp.zeros((P, 128), compute_dtype)
+        jnp.zeros((P, L), compute_dtype)
         .at[:n, : pe.shape[-1]].set(pe.astype(compute_dtype))
         .at[:n, pe.shape[-1] : pe.shape[-1] + te.shape[-1]].set(te.astype(compute_dtype))
     )
@@ -662,7 +724,7 @@ def _plain_call_bwd(D, skip, W, block, interpret, res, g):
     P = emb_p.shape[0]
     dflat, (demb,) = _run_bwd(
         _bwd_kernel_plain, [emb_p], g, [], list(flat), meta, block, interpret, P,
-        din_lanes=[128],
+        din_lanes=[emb_p.shape[1]],
     )
     return tuple(dflat), demb.astype(emb_p.dtype)
 
@@ -732,3 +794,113 @@ def _raw_call_bwd(D, skip, W, block, interpret, res, g):
 
 
 _raw_call.defvjp(_raw_call_fwd, _raw_call_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public op 4: fused_tnerf (ELU trunk, density/feature heads, ReLU color)
+# ---------------------------------------------------------------------------
+
+
+def supports_tnerf(cfg) -> bool:
+    """The T-NeRF architecture family the fused kernel covers (reference
+    model.py:152-210 as wired by t_nerf/run_tnerf.py:242-305): 128-aligned
+    net_dim, packed (pos+time) input within one lane block, and a single
+    skip (forward skips fire at i % skip_layer == 0, 0 < i < depth, so
+    depth <= 2*skip_layer keeps exactly one)."""
+    in0 = cfg.in_feat + cfg.time_feat
+    return (
+        cfg.net_dim % 128 == 0
+        and in0 <= 128
+        and cfg.dir_feat <= 128
+        and cfg.netdepth >= 2
+        and cfg.skip_layer < cfg.netdepth <= 2 * cfg.skip_layer
+    )
+
+
+def pack_tnerf_params(params, cfg, dtype=jnp.float32):
+    """Pack the T-NeRF pytree (models/tnerf.py init_tnerf_params) into the
+    generic head layout: trunk layers (skip split at layer skip_layer+1),
+    feature+density as one [W, W+128] matmul (col W = sigma), the
+    view-conditioned layer split into (feature rows, view-embed rows), and
+    the color head — all half-width (W//2) slots zero-padded to 128 lanes
+    so the shared kernel's shapes stay Mosaic-aligned."""
+    W = cfg.net_dim
+    in0 = cfg.in_feat + cfg.time_feat
+    skip = cfg.skip_layer
+
+    def cast(x):
+        return x.astype(dtype)
+
+    def pad_to(w, rows=None, cols=None):
+        r = 0 if rows is None else rows - w.shape[0]
+        c = 0 if cols is None else cols - w.shape[1]
+        return jnp.pad(w, ((0, r), (0, c)))
+
+    flat = []
+    for i, lyr in enumerate(params["layers"]):
+        w = lyr["w"]
+        if i == skip + 1:
+            # cat([inp, x]) @ w == inp @ w[:in0] + x @ w[in0:]
+            flat.append(cast(pad_to(w[:in0], rows=128)))
+            flat.append(cast(w[in0:]))
+        elif i == 0:
+            flat.append(cast(pad_to(w, rows=128)))
+        else:
+            flat.append(cast(w))
+        flat.append(lyr["b"][None, :].astype(jnp.float32))
+
+    fd_w = jnp.concatenate(
+        [params["feature"]["w"], pad_to(params["density"]["w"], cols=128)], axis=1
+    )
+    fd_b = jnp.concatenate(
+        [params["feature"]["b"], jnp.pad(params["density"]["b"], (0, 127))]
+    )
+    flat.append(cast(fd_w))
+    flat.append(fd_b[None, :].astype(jnp.float32))
+
+    vw = params["layer_9"]["w"]  # [W + dir_feat, W//2]
+    flat.append(cast(pad_to(vw[:W], cols=128)))
+    flat.append(cast(pad_to(vw[W:], rows=128, cols=128)))
+    flat.append(
+        jnp.pad(params["layer_9"]["b"], (0, 128 - vw.shape[1]))[None, :].astype(jnp.float32)
+    )
+    flat.append(cast(pad_to(params["color"]["w"], rows=128, cols=128)))
+    flat.append(jnp.pad(params["color"]["b"], (0, 125))[None, :].astype(jnp.float32))
+
+    return flat, {"D": cfg.netdepth, "W": W, "skip": skip, "act": "elu", "rgb_relu": True}
+
+
+def fused_tnerf(
+    params,
+    cfg,
+    pts_emb: jnp.ndarray,
+    views_emb: jnp.ndarray,
+    time_emb: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused T-NeRF field on embedded inputs -> raw [..., 4] (rgb after the
+    ReLU color head, sigma). Differentiable (shared Pallas backward with ELU
+    masks)."""
+    lead = pts_emb.shape[:-1]
+    pe = pts_emb.reshape(-1, pts_emb.shape[-1])
+    te = time_emb.reshape(-1, time_emb.shape[-1])
+    ve = views_emb.reshape(-1, views_emb.shape[-1])
+    n = pe.shape[0]
+    P = _round_up(max(n, block), block)
+
+    emb_p = (
+        jnp.zeros((P, 128), compute_dtype)
+        .at[:n, : pe.shape[-1]].set(pe.astype(compute_dtype))
+        .at[:n, pe.shape[-1] : pe.shape[-1] + te.shape[-1]].set(te.astype(compute_dtype))
+    )
+    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:n, : ve.shape[-1]].set(
+        ve.astype(compute_dtype)
+    )
+    flat, meta = pack_tnerf_params(params, cfg, dtype=compute_dtype)
+    out = _trunk_call(
+        tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
+        "elu", True,
+    )
+    return out[:n, :4].reshape(*lead, 4)
