@@ -200,8 +200,12 @@ def make_nerf_original_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> 
         pts_emb = positional_encoding(pts, cfg.nf_pts)
         views_emb = None
         if cfg.use_viewdirs:
-            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-            views_emb = positional_encoding(vd, cfg.nf_views)
+            # Per-ray viewdir encoding broadcast over samples (see
+            # models/vanilla.py).
+            ve = positional_encoding(viewdirs, cfg.nf_views)
+            views_emb = jnp.broadcast_to(
+                ve[..., None, :], pts.shape[:-1] + (ve.shape[-1],)
+            )
         raw = _trunk_apply(params, cfg, pts_emb, views_emb, use_fused)
         return raw, {"dx": jnp.zeros_like(pts)}
 
@@ -254,8 +258,12 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
 
         views_emb = None
         if cfg.use_viewdirs:
-            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-            views_emb = positional_encoding(vd, cfg.nf_views)
+            # Per-ray viewdir encoding broadcast over samples (see
+            # models/vanilla.py).
+            ve = positional_encoding(viewdirs, cfg.nf_views)
+            views_emb = jnp.broadcast_to(
+                ve[..., None, :], pts.shape[:-1] + (ve.shape[-1],)
+            )
         raw = _trunk_apply(params["canonical"], cfg, pts_emb, views_emb, use_fused)
         return raw, {"dx": dx}
 

@@ -123,8 +123,10 @@ def make_tnerf_field(cfg: TNeRFConfig, fused=None, fused_interpret: bool = False
 
     def apply(params, pts, viewdirs, times):
         pts_emb = positional_encoding(pts, cfg.nf_pts)
-        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-        views_emb = positional_encoding(vd, cfg.nf_views)
+        ve = positional_encoding(viewdirs, cfg.nf_views)
+        views_emb = jnp.broadcast_to(
+            ve[..., None, :], pts.shape[:-1] + (ve.shape[-1],)
+        )
         t = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
         time_emb = positional_encoding(t, cfg.nf_time)
         if use_fused:

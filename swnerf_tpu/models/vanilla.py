@@ -181,8 +181,14 @@ def make_vanilla_field(
         pts_emb = positional_encoding(pts, cfg.nf_pts)
         views_emb = None
         if cfg.use_viewdirs:
-            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-            views_emb = positional_encoding(vd, cfg.nf_views)
+            # Embed per-RAY then broadcast: viewdirs are constant along a
+            # ray, so encoding after the [N,S,3] broadcast would redo the
+            # sin/cos S times (reference embeds the flat expanded dirs,
+            # run.py:80-83 — wasteful there too).
+            ve = positional_encoding(viewdirs, cfg.nf_views)
+            views_emb = jnp.broadcast_to(
+                ve[..., None, :], pts.shape[:-1] + (ve.shape[-1],)
+            )
         if use_fused:
             from swnerf_tpu.ops.pallas.raymarch import fused_trunk
 
