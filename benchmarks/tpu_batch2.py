@@ -25,14 +25,17 @@ def scan_timed(name, step, state, args, samples_per_step):
         st, _ = jax.lax.scan(body, state, None, length=STEPS)
         return (st,)
 
+    def fetch(o):
+        leaf = jax.tree.leaves(o)[0]
+        jax.device_get(jax.tree.map(lambda x: x.ravel()[0], leaf))
+        return o
+
     fn = jax.jit(run)
     t0 = time.time()
-    out = fn(state, *args)
-    jax.block_until_ready(out)
+    out = fetch(fn(state, *args))
     compile_s = time.time() - t0
     t0 = time.time()
-    out = fn(out[0], *args)
-    jax.block_until_ready(out)
+    out = fetch(fn(out[0], *args))
     wall = time.time() - t0
     it_s = STEPS / wall
     msamp = it_s * samples_per_step / 1e6

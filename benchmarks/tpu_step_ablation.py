@@ -36,16 +36,22 @@ N_RAYS, N_C, N_F = 1024, 64, 128
 STEPS = 150
 
 
+def _fetch(out):
+    # block_until_ready through the axon tunnel can return early; fetching a
+    # concrete leaf forces real completion (CLAUDE.md benchmarking rule).
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(jax.tree.map(lambda x: x.ravel()[0], leaf))
+    return out
+
+
 def timed(name, fn, state, args):
-    # compile
+    # compile + warm
     t0 = time.time()
-    out = fn(state, *args)
-    jax.block_until_ready(out)
+    out = _fetch(fn(state, *args))
     compile_s = time.time() - t0
     state = out[0]
     t0 = time.time()
-    out = fn(state, *args)
-    jax.block_until_ready(out)
+    out = _fetch(fn(state, *args))
     wall = time.time() - t0
     it_s = STEPS / wall
     samp = it_s * N_RAYS * (N_C + N_C + N_F)

@@ -123,10 +123,15 @@ def main(argv=None):
     args = config_parser().parse_args(argv)
     from swnerf_tpu.pipelines.run_nerf import create_vanilla
 
-    field, rcfg, optimizer, state, start = create_vanilla(args)
+    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
     # Query the fine network when present (reference uses model_fine,
-    # extract_mesh.py:176).
-    params = state.params["fine"] if state.params["fine"] is not None else state.params["coarse"]
+    # extract_mesh.py:176) — through the fine FIELD so distinct fine dims
+    # query correctly.
+    if state.params["fine"] is not None:
+        params = state.params["fine"]
+        field = fine_field if fine_field is not None else field
+    else:
+        params = state.params["coarse"]
 
     bounds = DEFAULT_BOUNDS
     if os.environ.get("SWNERF_MESH_BOUNDS"):

@@ -25,14 +25,19 @@ def load_model(argv=None):
     from swnerf_tpu.pipelines.run_nerf import create_vanilla
 
     args = config_parser().parse_args(argv)
-    field, rcfg, optimizer, state, start = create_vanilla(args)
-    params_query = (
-        state.params["fine"] if state.params["fine"] is not None else state.params["coarse"]
-    )
+    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
+    # Query the fine network THROUGH the fine field (distinct
+    # netdepth_fine/netwidth_fine architectures query correctly).
+    if state.params["fine"] is not None:
+        params_query = state.params["fine"]
+        query_field = fine_field if fine_field is not None else field
+    else:
+        params_query = state.params["coarse"]
+        query_field = field
 
     def query_fn(positions, viewdirs):
         pts = jnp.asarray(positions)[:, None, :]  # [N, 1, 3]
-        raw, _ = field.apply(params_query, pts, jnp.asarray(viewdirs))
+        raw, _ = query_field.apply(params_query, pts, jnp.asarray(viewdirs))
         return raw[:, 0, :]
 
-    return field, params_query, state, args, query_fn
+    return query_field, params_query, state, args, query_fn
