@@ -171,11 +171,11 @@ def write_config(path, cfg, expname, basedir):
 # ---------------------------------------------------------------------------
 
 
-def run_reference(mode, cfgpath, iters):
+def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     install_reference_stubs()
     import torch
 
-    torch.manual_seed(0)
+    torch.manual_seed(int(os.environ.get("PARITY_REF_SEED", "0")))
     runner = "nerf/run.py" if mode == "nerf" else "d_nerf/run_dnerf.py"
     t0 = time.time()
     mod = import_reference_module(runner)
@@ -291,12 +291,19 @@ def main():
     write_config(our_cfg, cfg, f"our_{mode}", os.path.join(out, "logs_our"))
 
     which = os.environ.get("PARITY_RUN", "both")
+    # Optional seed suffix: independent runs land in their own expname dirs
+    # (seed-variance studies for the parity gate).
+    seed = int(os.environ.get("PARITY_SEED", "0"))
+    if seed:
+        for cfgp, exp, base in ((ref_cfg, f"ref_{mode}_s{seed}", "logs_ref"),
+                                (our_cfg, f"our_{mode}_s{seed}", "logs_our")):
+            write_config(cfgp, cfg, exp, os.path.join(out, base))
     t_ref = t_our = None
     if which in ("both", "ref"):
         t_ref = run_reference(mode, ref_cfg, iters)
         print(f"reference trained in {t_ref:.0f}s")
     if which in ("both", "ours"):
-        t_our = run_ours(mode, our_cfg, iters)
+        t_our = run_ours(mode, our_cfg, iters, seed=seed)
         print(f"swnerf_tpu trained in {t_our:.0f}s")
 
     # Identical eval of both final checkpoints.
@@ -305,8 +312,9 @@ def main():
         datadir=data, half_res=False, testskip=1, white_bkgd=True,
         render_test=False,
     )
-    ref_tar = os.path.join(out, "logs_ref", f"ref_{mode}", f"{iters:06d}.tar")
-    our_tar = os.path.join(out, "logs_our", f"our_{mode}", f"{iters:06d}.tar")
+    suffix = f"_s{seed}" if seed else ""
+    ref_tar = os.path.join(out, "logs_ref", f"ref_{mode}{suffix}", f"{iters:06d}.tar")
+    our_tar = os.path.join(out, "logs_our", f"our_{mode}{suffix}", f"{iters:06d}.tar")
     results = {"mode": mode, "iters": iters}
     if os.path.exists(ref_tar):
         results["ref_psnr"], results["ref_frames"] = eval_ckpt(
@@ -322,9 +330,9 @@ def main():
         results["delta_db"] = results["our_psnr"] - results["ref_psnr"]
         print(f"DELTA (ours - reference): {results['delta_db']:+.3f} dB")
 
-    with open(os.path.join(out, f"parity_{mode}.json"), "w") as f:
+    with open(os.path.join(out, f"parity_{mode}{suffix}.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote", os.path.join(out, f"parity_{mode}.json"))
+    print("wrote", os.path.join(out, f"parity_{mode}{suffix}.json"))
 
 
 if __name__ == "__main__":

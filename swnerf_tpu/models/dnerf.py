@@ -172,7 +172,10 @@ def _use_fused(cfg: DNeRFConfig) -> bool:
     )
 
 
-def _trunk_apply(params, cfg: DNeRFConfig, pts_emb, views_emb, fused: bool):
+def _trunk_apply(
+    params, cfg: DNeRFConfig, pts_emb, views_emb, fused: bool,
+    need_input_grads: bool = True,
+):
     if fused and cfg.use_viewdirs:
         import os
 
@@ -183,7 +186,15 @@ def _trunk_apply(params, cfg: DNeRFConfig, pts_emb, views_emb, fused: bool):
             if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
             else jnp.float32
         )
-        return fused_trunk(params, cfg, pts_emb, views_emb, compute_dtype=cdt)
+        if os.environ.get("SWNERF_FUSED_INPUT_GRADS") == "1":
+            need_input_grads = True
+        if not need_input_grads:
+            pts_emb = jax.lax.stop_gradient(pts_emb)
+            views_emb = jax.lax.stop_gradient(views_emb)
+        return fused_trunk(
+            params, cfg, pts_emb, views_emb, compute_dtype=cdt,
+            need_input_grads=need_input_grads,
+        )
     return apply_nerf_original(params, cfg, pts_emb, views_emb)
 
 
@@ -206,7 +217,9 @@ def make_nerf_original_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> 
             views_emb = jnp.broadcast_to(
                 ve[..., None, :], pts.shape[:-1] + (ve.shape[-1],)
             )
-        raw = _trunk_apply(params, cfg, pts_emb, views_emb, use_fused)
+        raw = _trunk_apply(
+            params, cfg, pts_emb, views_emb, use_fused, need_input_grads=False
+        )
         return raw, {"dx": jnp.zeros_like(pts)}
 
     return Field(init, apply)
@@ -242,7 +255,9 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
                 else jnp.float32
             )
             dx = fused_time_net(
-                params["time_net"], cfg, pts_emb, time_emb, compute_dtype=cdt
+                params["time_net"], cfg,
+                jax.lax.stop_gradient(pts_emb), jax.lax.stop_gradient(time_emb),
+                compute_dtype=cdt, need_input_grads=False,
             )
         else:
             dx = apply_time_net(params["time_net"], cfg, pts_emb, time_emb)

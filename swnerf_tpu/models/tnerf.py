@@ -139,9 +139,15 @@ def make_tnerf_field(cfg: TNeRFConfig, fused=None, fused_interpret: bool = False
                 if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
                 else jnp.float32
             )
+            din = os.environ.get("SWNERF_FUSED_INPUT_GRADS") == "1"
+            if not din:
+                pts_emb = jax.lax.stop_gradient(pts_emb)
+                views_emb = jax.lax.stop_gradient(views_emb)
+                time_emb = jax.lax.stop_gradient(time_emb)
             raw = fused_tnerf(
                 params, cfg, pts_emb, views_emb, time_emb,
                 interpret=fused_interpret, compute_dtype=cdt,
+                need_input_grads=din,
             )
         else:
             raw = apply_tnerf(params, cfg, pts_emb, views_emb, time_emb)

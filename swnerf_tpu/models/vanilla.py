@@ -197,9 +197,20 @@ def make_vanilla_field(
                 if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
                 else jnp.float32
             )
+            # Static field: embeddings are constants w.r.t. params, so the
+            # backward's input-cotangent matmuls are dead work — skip them
+            # and stop_gradient the embeddings so position-gradients are
+            # UNIFORMLY zero rather than mode-dependent (cf. the sample_pdf
+            # decision in ops/sampling.py). SWNERF_FUSED_INPUT_GRADS=1
+            # restores full input gradients.
+            din = os.environ.get("SWNERF_FUSED_INPUT_GRADS") == "1"
+            if not din:
+                pts_emb = jax.lax.stop_gradient(pts_emb)
+                views_emb = jax.lax.stop_gradient(views_emb)
             raw = fused_trunk(
                 params, cfg, pts_emb, views_emb,
                 interpret=fused_interpret, compute_dtype=cdt,
+                need_input_grads=din,
             )
         else:
             raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)

@@ -255,10 +255,15 @@ def _trunk_forward(
 
 def _trunk_backward(
     emb, vemb, g, nxt, D: int, skip: int, W: int, plain_head: bool = False,
-    act: str = "relu", rgb_relu: bool = False,
+    act: str = "relu", rgb_relu: bool = False, need_din: bool = True,
 ):
     """Recompute + reverse. Returns (grads list in flat order, demb, dvemb)
-    — all f32. Masks compared in f32 (no bf16 cmp on v5e)."""
+    — all f32. Masks compared in f32 (no bf16 cmp on v5e).
+
+    ``need_din=False`` skips the input-gradient matmuls (demb at the first
+    and skip layers, dvemb at the view layer) — the training path detaches
+    sample positions, so those cotangents are discarded anyway; skipping
+    them removes ~3 of the ~47 MXU passes per point."""
     cdt = emb.dtype
 
     # forward recompute keeping post-activation values
@@ -291,14 +296,16 @@ def _trunk_backward(
             if i == skip + 1:
                 w_top, w_bot = ws[i]
                 trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
-                demb = demb + _mmt(dz, w_top)
+                if need_din:
+                    demb = demb + _mmt(dz, w_top)
                 dh = _mmt(dz, w_bot)
             else:
                 (w,) = ws[i]
                 x = emb if i == 0 else hs[i - 1]
                 trunk_grads.append((_tmm(x, dz), db))
                 if i == 0:
-                    demb = demb + _mmt(dz, w)
+                    if need_din:
+                        demb = demb + _mmt(dz, w)
                 else:
                     dh = _mmt(dz, w)
         grads = []
@@ -331,7 +338,9 @@ def _trunk_backward(
     dhv_c = dhv.astype(cdt)
 
     dfeat = _mmt(dhv_c, w_vf)
-    dvemb = _mmt(dhv_c, w_vv)
+    dvemb = (
+        _mmt(dhv_c, w_vv) if need_din else jnp.zeros(vemb.shape, jnp.float32)
+    )
     dW_vf = _tmm(feat, dhv_c)
     dW_vv = _tmm(vemb, dhv_c)
     db_v = jnp.sum(dhv, axis=0, keepdims=True)
@@ -352,14 +361,16 @@ def _trunk_backward(
         if i == skip + 1:
             w_top, w_bot = ws[i]
             trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
-            demb = demb + _mmt(dz, w_top)
+            if need_din:
+                demb = demb + _mmt(dz, w_top)
             dh = _mmt(dz, w_bot)
         else:
             (w,) = ws[i]
             x = emb if i == 0 else hs[i - 1]
             trunk_grads.append((_tmm(x, dz), db))
             if i == 0:
-                demb = demb + _mmt(dz, w)
+                if need_din:
+                    demb = demb + _mmt(dz, w)
             else:
                 dh = _mmt(dz, w)
 
@@ -396,7 +407,7 @@ def _fwd_kernel(emb_ref, vemb_ref, *refs, D: int, skip: int, W: int,
 
 
 def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int,
-                act: str = "relu", rgb_relu: bool = False):
+                act: str = "relu", rgb_relu: bool = False, need_din: bool = True):
     n_w = (len(refs) - 2) // 2
     wrefs = refs[:n_w]
     grefs = refs[n_w:-2]
@@ -411,7 +422,7 @@ def _bwd_kernel(emb_ref, vemb_ref, g_ref, *refs, D: int, skip: int, W: int,
     nxt = _ref_iter(wrefs)
     grads, demb, dvemb = _trunk_backward(
         emb_ref[:].astype(cdt), vemb_ref[:].astype(cdt), g_ref[:], nxt, D, skip, W,
-        act=act, rgb_relu=rgb_relu,
+        act=act, rgb_relu=rgb_relu, need_din=need_din,
     )
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
@@ -430,7 +441,7 @@ def _fwd_kernel_plain(emb_ref, *refs, D: int, skip: int, W: int,
 
 
 def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int,
-                      act: str = "relu", rgb_relu: bool = False):
+                      act: str = "relu", rgb_relu: bool = False, need_din: bool = True):
     del rgb_relu
     n_w = (len(refs) - 1) // 2
     wrefs = refs[:n_w]
@@ -446,7 +457,8 @@ def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int,
     emb = emb_ref[:].astype(cdt)
     nxt = _ref_iter(wrefs)
     grads, demb, _ = _trunk_backward(
-        emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True, act=act
+        emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True, act=act,
+        need_din=need_din,
     )
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
@@ -472,8 +484,8 @@ def _fwd_kernel_raw(pts_ref, vd_ref, *refs, D: int, skip: int, W: int,
 
 
 def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int,
-                    act: str = "relu", rgb_relu: bool = False):
-    del act, rgb_relu
+                    act: str = "relu", rgb_relu: bool = False, need_din: bool = True):
+    del act, rgb_relu, need_din  # raw variant always produces input grads
     consts = [r[:] for r in refs[:8]]
     rest = refs[8:]
     n_w = (len(rest) - 2) // 2
@@ -555,6 +567,7 @@ def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lane
         functools.partial(
             kernel, D=meta["D"], skip=meta["skip"], W=meta["W"],
             act=meta.get("act", "relu"), rgb_relu=meta.get("rgb_relu", False),
+            need_din=meta.get("need_din", True),
         ),
         out_shape=tuple(out_shapes),
         grid=(P // block,),
@@ -582,9 +595,16 @@ def fused_trunk(
     block: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    need_input_grads: bool = True,
 ) -> jnp.ndarray:
     """Fused trunk on embedded inputs: [..., in_ch], [..., in_ch_views] ->
-    raw [..., 4]. Differentiable (Pallas backward)."""
+    raw [..., 4]. Differentiable (Pallas backward).
+
+    ``need_input_grads=False`` skips the input-cotangent matmuls in the
+    backward kernel (the cotangents come back as zeros) — correct whenever
+    the embeddings are constants w.r.t. the differentiated values, which is
+    every training/eval path on a static field (positions are detached,
+    reference run.py:398)."""
     lead = pts_emb.shape[:-1]
     emb = pts_emb.reshape(-1, pts_emb.shape[-1])
     vemb = views_emb.reshape(-1, views_emb.shape[-1])
@@ -600,26 +620,30 @@ def fused_trunk(
     flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     out = _trunk_call(
         tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
-        "relu", False,
+        "relu", False, need_input_grads,
     )
     return out[:n, :4].reshape(*lead, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
+                need_din=True):
     meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu}
     P = emb_p.shape[0]
     return _run_fwd(_fwd_kernel, [emb_p, vemb_p], [], list(flat), meta, block, interpret, P)
 
 
-def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu):
-    out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu)
+def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
+                    need_din):
+    out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
+                      need_din)
     return out, (flat, emb_p, vemb_p)
 
 
-def _trunk_call_bwd(D, skip, W, block, interpret, act, rgb_relu, res, g):
+def _trunk_call_bwd(D, skip, W, block, interpret, act, rgb_relu, need_din, res, g):
     flat, emb_p, vemb_p = res
-    meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu}
+    meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu,
+            "need_din": need_din}
     P = emb_p.shape[0]
     dflat, (demb, dvemb) = _run_bwd(
         _bwd_kernel, [emb_p, vemb_p], g, [], list(flat), meta, block, interpret, P,
@@ -687,6 +711,7 @@ def fused_time_net(
     block: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    need_input_grads: bool = True,
 ) -> jnp.ndarray:
     """Fused deformation MLP: (embed(x) [..., in_ch], embed(t)
     [..., in_ch_t]) -> dx [..., 3]."""
@@ -702,25 +727,28 @@ def fused_time_net(
         .at[:n, pe.shape[-1] : pe.shape[-1] + te.shape[-1]].set(te.astype(compute_dtype))
     )
     flat, meta = pack_time_params(tp, cfg, dtype=compute_dtype)
-    out = _plain_call(tuple(flat), emb_p, meta["D"], meta["skip"], meta["W"], block, interpret)
+    out = _plain_call(
+        tuple(flat), emb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
+        need_input_grads,
+    )
     return out[:n, :3].reshape(*lead, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _plain_call(flat, emb_p, D, skip, W, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din=True):
     meta = {"D": D, "skip": skip, "W": W}
     P = emb_p.shape[0]
     return _run_fwd(_fwd_kernel_plain, [emb_p], [], list(flat), meta, block, interpret, P)
 
 
-def _plain_call_fwd(flat, emb_p, D, skip, W, block, interpret):
-    out = _plain_call(flat, emb_p, D, skip, W, block, interpret)
+def _plain_call_fwd(flat, emb_p, D, skip, W, block, interpret, need_din):
+    out = _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din)
     return out, (flat, emb_p)
 
 
-def _plain_call_bwd(D, skip, W, block, interpret, res, g):
+def _plain_call_bwd(D, skip, W, block, interpret, need_din, res, g):
     flat, emb_p = res
-    meta = {"D": D, "skip": skip, "W": W}
+    meta = {"D": D, "skip": skip, "W": W, "need_din": need_din}
     P = emb_p.shape[0]
     dflat, (demb,) = _run_bwd(
         _bwd_kernel_plain, [emb_p], g, [], list(flat), meta, block, interpret, P,
@@ -879,6 +907,7 @@ def fused_tnerf(
     block: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    need_input_grads: bool = True,
 ) -> jnp.ndarray:
     """Fused T-NeRF field on embedded inputs -> raw [..., 4] (rgb after the
     ReLU color head, sigma). Differentiable (shared Pallas backward with ELU
@@ -901,6 +930,6 @@ def fused_tnerf(
     flat, meta = pack_tnerf_params(params, cfg, dtype=compute_dtype)
     out = _trunk_call(
         tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
-        "elu", True,
+        "elu", True, need_input_grads,
     )
     return out[:n, :4].reshape(*lead, 4)

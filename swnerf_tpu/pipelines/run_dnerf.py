@@ -339,7 +339,22 @@ def train(argv=None):
 
     cadences = (args.i_weights, args.i_print, args.i_img, args.i_video, args.i_testset)
 
+    def flush_pending(pending):
+        # One-boundary-behind metric fetch keeps the dispatch pipeline full
+        # (see run_nerf.py flush_pending).
+        if pending is None:
+            return
+        j, met = pending
+        m = {k: float(v) for k, v in met.items()}
+        logger.scalars(j, m)
+        logger.throughput(j, samples_per_step, jax.device_count())
+        txt = f"[TRAIN] Iter: {j} Loss_fine: {m['loss']:.6f} PSNR: {m['psnr']:.3f}"
+        if "tv" in m:
+            txt += f" TV: {m['tv']:.6f}"
+        print(txt)
+
     print("Begin")
+    pending = None
     metrics = {}
     i = start + 1
     while i < n_iters:
@@ -376,13 +391,8 @@ def train(argv=None):
             save_dnerf_ckpt(args, kind, state, i)
 
         if i % args.i_print == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.scalars(i, m)
-            tp = logger.throughput(i, samples_per_step, jax.device_count())
-            txt = f"[TRAIN] Iter: {i} Loss_fine: {m['loss']:.6f} PSNR: {m['psnr']:.3f}"
-            if "tv" in m:
-                txt += f" TV: {m['tv']:.6f}"
-            print(txt)
+            flush_pending(pending)
+            pending = (i, metrics)
 
         if i % args.i_img == 0 and i > 0 and len(scene.i_val):
             img_i = int(np.random.default_rng(i).choice(scene.i_val))
@@ -420,6 +430,7 @@ def train(argv=None):
 
         i += 1
 
+    flush_pending(pending)
     logger.close()
     return {k: float(v) for k, v in metrics.items()}
 

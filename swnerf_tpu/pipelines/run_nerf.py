@@ -225,6 +225,22 @@ def train(argv=None):
     print("TRAIN views are", scene.i_train)
     print("TEST views are", scene.i_test)
 
+    def flush_pending(pending):
+        """Fetch + log the PREVIOUS boundary's metrics. Deferring the fetch
+        one print interval keeps the device pipeline full: fetching the
+        just-dispatched step blocks until the queue drains and the refill
+        bubble costs ~20% at i_print=50 through the remote tunnel
+        (PERFORMANCE.md)."""
+        if pending is None:
+            return
+        j, met = pending
+        m = {k: float(v) for k, v in met.items()}
+        logger.scalars(j, m)
+        tp = logger.throughput(j, samples_per_step, jax.device_count())
+        rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
+        print(f"[TRAIN] Iter: {j} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
+
+    pending = None
     metrics = {}
     i = start + 1
     while i < n_iters:
@@ -279,14 +295,12 @@ def train(argv=None):
             print("Saved test set")
 
         if i % args.i_print == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.scalars(i, m)
-            tp = logger.throughput(i, samples_per_step, jax.device_count())
-            rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
-            print(f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
+            flush_pending(pending)
+            pending = (i, metrics)
 
         i += 1
 
+    flush_pending(pending)
     profiler.close()
     logger.close()
     return {k: float(v) for k, v in metrics.items()}

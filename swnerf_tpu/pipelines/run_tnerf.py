@@ -146,7 +146,18 @@ def train(argv=None):
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     samples_per_step = args.N_rand * rcfg.n_samples
 
+    def flush_pending(pending):
+        # One-boundary-behind metric fetch (see run_nerf.py flush_pending).
+        if pending is None:
+            return
+        j, met = pending
+        m = {k: float(v) for k, v in met.items()}
+        logger.scalars(j, m)
+        logger.throughput(j, samples_per_step, jax.device_count())
+        print(f"[TRAIN] Iter: {j} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
+
     print("Begin")
+    pending = None
     for i in range(start + 1, n_iters):
         img_i, pixels = sampler.next(i)
         state, metrics = step_fn(
@@ -158,10 +169,8 @@ def train(argv=None):
             save_tnerf_ckpt(args, state, i)
 
         if i % args.i_print == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.scalars(i, m)
-            logger.throughput(i, samples_per_step, jax.device_count())
-            print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
+            flush_pending(pending)
+            pending = (i, metrics)
 
         if i % args.i_video == 0 and i > 0:
             savedir = os.path.join(
@@ -184,6 +193,7 @@ def train(argv=None):
             )
             print("Saved test set")
 
+    flush_pending(pending)
     logger.close()
 
 

@@ -68,6 +68,28 @@ class TestFusedTrunk:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
+    def test_need_input_grads_false(self, rng_np):
+        """need_input_grads=False: parameter gradients unchanged, input
+        cotangents exactly zero (the training path detaches positions, so
+        the skipped matmuls were dead work)."""
+        cfg, params = _setup(multires=4, multires_views=2, D=4)
+        emb = jnp.asarray(rng_np.standard_normal((96, cfg.input_ch)).astype(np.float32))
+        vemb = jnp.asarray(rng_np.standard_normal((96, cfg.input_ch_views)).astype(np.float32))
+        tgt = jnp.asarray(rng_np.standard_normal((96, 4)).astype(np.float32))
+
+        def loss(p, e, v, din):
+            out = fused_trunk(p, cfg, e, v, block=96, interpret=True,
+                              need_input_grads=din)
+            return jnp.mean((out - tgt) ** 2)
+
+        g_full = jax.grad(loss)(params, emb, vemb, True)
+        g_skip = jax.grad(loss)(params, emb, vemb, False)
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_skip)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        de, dv = jax.grad(loss, argnums=(1, 2))(params, emb, vemb, False)
+        assert float(jnp.abs(de).max()) == 0.0
+        assert float(jnp.abs(dv).max()) == 0.0
+
     def test_embed_consts_match_positional_encoding(self, rng_np):
         """emb = x8 @ E0 + sin(x8 @ S + PHASE) * MASK reproduces the jnp
         encoder exactly (identity + interleaved sin/cos per freq)."""
