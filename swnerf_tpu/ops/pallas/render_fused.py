@@ -1,0 +1,469 @@
+"""One-kernel-per-pass training: MLP trunk forward + volume compositing +
+per-ray MSE loss + full backward, fused into a single Pallas kernel.
+
+Motivation (measured, PERFORMANCE.md round 2): the split fwd-kernel /
+bwd-kernel scheme pays FOUR forward-equivalents of MXU work per point
+(fwd, then the backward's remat recompute, dX, dW) plus XLA glue for
+compositing and the loss. When the kernel knows the per-ray target, the
+loss cotangent is computable inside (d sqerr/d rgb_map = 2(rgb_map -
+target), scaled by a static constant), so forward and backward fuse into
+one pass per tile: activations stay in VMEM between the forward and the
+reverse sweep — THREE forward-equivalents, no recompute, no composite/loss
+round trips. A lego train step becomes two kernel launches (coarse, fine)
+plus the Pallas sample_pdf and small XLA (sampling, merge, Adam).
+
+Replaces: embed->MLP->raw2outputs->loss->backward of the reference hot loop
+(nerf/run.py:389-407,689-700) for the flagship (vanilla/NeRFOriginal)
+architecture; other fields keep the split-kernel scheme.
+
+In-kernel compositing (raw2outputs, ray.py:155-198) on ray-major tiles of
+R whole rays x S samples:
+  * exclusive-cumprod transmittance as a segmented Hillis-Steele scan in
+    log space (log(1-alpha+1e-10) prefix sums via log2(S) shift+add steps);
+  * per-ray reductions (rgb/acc/depth maps) as ONE [B,R]^T x [B,128] MXU
+    matmul with a 0/1 segment matrix;
+  * the backward's suffix sums (dL/dalpha_b needs sum_{c>b} dL/dw_c w_c)
+    as the reverse segmented scan.
+
+Gradient contract: gradients flow ONLY from the returned per-ray ``sqerr``
+(sum over rgb channels of the squared error, after optional white
+background); rgb/acc/depth/weights outputs are zero-tangent. This matches
+the product loss exactly (mse = sum(sqerr) / (3N)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swnerf_tpu.ops.pallas.raymarch import (
+    _act_fwd,
+    _act_grad,
+    _mm,
+    _mmt,
+    _ref_iter,
+    _round_up,
+    _tmm,
+    pack_params,
+)
+
+EPS = 1e-10  # transmittance stabilizer (reference ray.py:188)
+
+
+# ---------------------------------------------------------------------------
+# Segmented scans (rows are ray-major: row = ray * S + sample)
+# ---------------------------------------------------------------------------
+
+
+def _row_in_ray(B: int, S: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) % S
+
+
+def _seg_prefix_sum_excl(x, S: int):
+    """Exclusive prefix sum within length-S row segments (Hillis-Steele,
+    log2(S) shift+add steps; static slices only — Mosaic-friendly)."""
+    B = x.shape[0]
+    ridx = _row_in_ray(B, S)
+    incl = x
+    k = 1
+    while k < S:
+        shifted = jnp.concatenate([jnp.zeros((k, 1), x.dtype), incl[:-k]], 0)
+        incl = incl + jnp.where(ridx >= k, shifted, 0.0)
+        k *= 2
+    return incl - x
+
+
+def _seg_suffix_sum_excl(x, S: int):
+    """Exclusive suffix sum within segments (sum over rows AFTER b)."""
+    B = x.shape[0]
+    ridx = _row_in_ray(B, S)
+    incl = x
+    k = 1
+    while k < S:
+        shifted = jnp.concatenate([incl[k:], jnp.zeros((k, 1), x.dtype)], 0)
+        incl = incl + jnp.where(ridx < S - k, shifted, 0.0)
+        k *= 2
+    return incl - x
+
+
+def _segment_matrix(B: int, S: int, R: int):
+    """0/1 [B, R] matrix with Seg[b, r] = (b // S == r)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0) // S
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    return (row == col).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Trunk forward (keep activations) + reverse — flagship head (viewdirs, relu)
+# ---------------------------------------------------------------------------
+
+
+def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
+    """Like raymarch._trunk_forward but returns the VMEM-resident caches the
+    reverse sweep needs (post-relu activations, weights, view hidden)."""
+    cdt = emb.dtype
+    hs, ws = [], []
+    h = None
+    for i in range(D):
+        if i == skip + 1:
+            w_top, w_bot, b = nxt(), nxt(), nxt()
+            z = _mm(emb, w_top) + _mm(h, w_bot) + b
+            ws.append((w_top, w_bot))
+        else:
+            w, b = nxt(), nxt()
+            z = _mm(emb if i == 0 else h, w) + b
+            ws.append((w,))
+        h = _act_fwd(z, "relu").astype(cdt)
+        hs.append(h)
+
+    fa_w, fa_b = nxt(), nxt()
+    fa = _mm(h, fa_w) + fa_b
+    alpha_raw = fa[:, W : W + 1]  # pre-noise density logit
+    feat = fa[:, :W].astype(cdt)
+
+    w_vf, w_vv, b_v = nxt(), nxt(), nxt()
+    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, "relu").astype(cdt)
+    w_rgb, b_rgb = nxt(), nxt()
+    rgb_logits = _mm(hv, w_rgb) + b_rgb  # [B, 128]; lanes 0-2 live
+
+    cache = dict(hs=hs, ws=ws, fa_w=fa_w, feat=feat, w_vf=w_vf, w_vv=w_vv,
+                 w_rgb=w_rgb, hv=hv)
+    return rgb_logits, alpha_raw, cache
+
+
+def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
+    """Reverse sweep on the cached forward. ``g`` [B, 128] carries the raw
+    cotangent: lanes 0-2 d rgb_logits, lane 3 d sigma. Returns the grads
+    list in pack_params order (no input grads — positions are detached on
+    this path)."""
+    cdt = emb.dtype
+    hs, ws = cache["hs"], cache["ws"]
+    feat, hv = cache["feat"], cache["hv"]
+    fa_w, w_vf, w_vv, w_rgb = cache["fa_w"], cache["w_vf"], cache["w_vv"], cache["w_rgb"]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g_rgb32 = jnp.where(lane < 3, g, 0.0)
+    g_rgb = g_rgb32.astype(cdt)
+    dalpha = jnp.where(lane == 3, g, 0.0)
+
+    dhv = _mmt(g_rgb, w_rgb) * _act_grad(hv, "relu")
+    dW_rgb = _tmm(hv, g_rgb)
+    db_rgb = jnp.sum(g_rgb32, axis=0, keepdims=True)
+    dhv_c = dhv.astype(cdt)
+
+    dfeat = _mmt(dhv_c, w_vf)
+    dW_vf = _tmm(feat, dhv_c)
+    dW_vv = _tmm(vemb, dhv_c)
+    db_v = jnp.sum(dhv, axis=0, keepdims=True)
+
+    dfa = jnp.concatenate([dfeat, jnp.zeros_like(dalpha)], axis=1)
+    fa_lane = jax.lax.broadcasted_iota(jnp.int32, dfa.shape, 1)
+    dalpha_col = jnp.sum(dalpha, axis=1, keepdims=True)
+    dfa = jnp.where(fa_lane == W, dalpha_col, dfa).astype(cdt)
+    dh = _mmt(dfa, fa_w)
+    dW_fa = _tmm(hs[D - 1], dfa)
+    db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
+
+    trunk_grads = []
+    for i in range(D - 1, -1, -1):
+        dz = (dh * _act_grad(hs[i], "relu")).astype(cdt)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        if i == skip + 1:
+            w_top, w_bot = ws[i]
+            trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
+            dh = _mmt(dz, w_bot)
+        else:
+            (w,) = ws[i]
+            x = emb if i == 0 else hs[i - 1]
+            trunk_grads.append((_tmm(x, dz), db))
+            if i != 0:
+                dh = _mmt(dz, w)
+
+    grads = []
+    for i in range(D):
+        grads.extend(trunk_grads[D - 1 - i])
+    grads += [dW_fa, db_fa, dW_vf, dW_vv, db_v, dW_rgb, db_rgb]
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _render_loss_kernel(
+    emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
+    D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
+):
+    """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
+    perray_out [R, 128], weights_out [B, 128(lane 0)].
+
+    aux lanes: 0 = dist*|d| (last = 1e10), 1 = density noise, 2 = z.
+    tgt lanes 0-2: per-ray target rgb.
+    perray_out lanes: 0-2 rgb_map (white-composited), 3 acc, 4 depth,
+    5 sqerr."""
+    n_w = (len(refs) - 2) // 2
+    wrefs = refs[:n_w]
+    grefs = refs[n_w:-2]
+    perray_ref, wout_ref = refs[-2], refs[-1]
+    cdt = wrefs[0].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
+
+    emb = emb_ref[:].astype(cdt)
+    vemb = vemb_ref[:].astype(cdt)
+    B = emb.shape[0]
+    R = B // S
+
+    nxt = _ref_iter(wrefs)
+    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W)
+
+    aux = aux_ref[:]
+    dist = aux[:, 0:1]
+    noise = aux[:, 1:2]
+    z = aux[:, 2:3]
+
+    # ---- composite forward (raw2outputs, ray.py:155-198) ----
+    sigma = sigma_raw + noise
+    relu_sig = jnp.maximum(sigma, 0.0)
+    alpha = 1.0 - jnp.exp(-relu_sig * dist)  # [B,1]
+    # The max() floor guards against the compiler reassociating
+    # (1 - alpha) + EPS into (1 + EPS) - alpha (observed inside the fused
+    # kernel), which folds the stabilizer away and yields log(0) = -inf at
+    # alpha == 1; at that point max() is bit-equal to the reference's
+    # 1 - alpha + 1e-10 (ray.py:188).
+    safe = jnp.maximum(1.0 - alpha + EPS, EPS)
+    logs = jnp.log(safe)
+    trans = jnp.exp(_seg_prefix_sum_excl(logs, S))
+    w = alpha * trans  # weights [B,1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, rgb_logits.shape, 1)
+    rgb = jax.nn.sigmoid(rgb_logits)
+    vals = jnp.where(
+        lane < 3, w * rgb, jnp.where(lane == 3, w, jnp.where(lane == 4, w * z, 0.0))
+    )
+    seg = _segment_matrix(B, S, R)
+    perray = _tmm(seg, vals)  # [R, 128]: 0-2 sum w*rgb, 3 acc, 4 depth
+
+    plane = jax.lax.broadcasted_iota(jnp.int32, perray.shape, 1)
+    acc_col = perray[:, 3:4]
+    if white_bkgd:
+        perray = jnp.where(plane < 3, perray + (1.0 - acc_col), perray)
+    tgt = tgt_ref[:]
+    valid = tgt[:, 3:4]  # 1.0 for real rays, 0.0 for ray-count padding
+    err = jnp.where(plane < 3, (perray - tgt) * valid, 0.0)
+    sqerr_col = jnp.sum(err * err, axis=1, keepdims=True)
+    perray = jnp.where(plane == 5, sqerr_col, perray)
+    perray_ref[:] = perray
+    wout_ref[:] = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1) == 0, w, 0.0
+    )
+
+    # ---- loss + composite backward ----
+    # d loss/d rgb_map = loss_scale * 2 * err  (sqerr is channel-summed)
+    g_perray = loss_scale * 2.0 * err  # [R, 128] lanes 0-2
+    if white_bkgd:
+        # rgb_map includes +(1-acc): d/d acc = -sum_c g_rgb_c
+        g_acc = -jnp.sum(g_perray, axis=1, keepdims=True)
+    else:
+        g_acc = jnp.zeros_like(acc_col)
+    g_packed = jnp.where(
+        plane < 3, g_perray, jnp.where(plane == 3, g_acc, 0.0)
+    )
+    g_row = _mm(seg, g_packed)  # [B, 128] broadcast to rows
+
+    # dL/dw_b = sum_c g_rgb_c*rgb_c + g_acc (+ g_depth*z, zero here)
+    dldw_terms = jnp.where(
+        lane < 3, g_row * rgb, jnp.where(lane == 3, g_row, 0.0)
+    )
+    dldw = jnp.sum(dldw_terms, axis=1, keepdims=True)  # [B,1]
+
+    # d rgb_logits (lanes 0-2): w * g_rgb * sigmoid'
+    drgb = jnp.where(lane < 3, w * g_row * rgb * (1.0 - rgb), 0.0)
+
+    # d alpha: dldw*T - suffix_{c>b}(dldw_c w_c) / safe_b
+    suff = _seg_suffix_sum_excl(dldw * w, S)
+    dalpha = dldw * trans - suff / safe
+    dsigma = dalpha * dist * jnp.exp(-relu_sig * dist) * (sigma > 0.0).astype(jnp.float32)
+
+    g_raw = drgb + jnp.where(lane == 3, dsigma, 0.0)
+
+    grads = _trunk_reverse(emb, vemb, g_raw, cache, D, skip, W)
+    for r, gval in zip(grefs, grads):
+        r[:] += gval.astype(r.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side op
+# ---------------------------------------------------------------------------
+
+
+def _const_specs(arrs):
+    return [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for a in arrs]
+
+
+def _rows_spec(rows, lanes=128):
+    return pl.BlockSpec((rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _rays_spec(rays, lanes=128):
+    return pl.BlockSpec((rays, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def fused_render_pass(
+    params,
+    cfg,
+    pts_emb: jnp.ndarray,
+    views_emb: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dists_scaled: jnp.ndarray,
+    noise: jnp.ndarray,
+    target: jnp.ndarray,
+    white_bkgd: bool,
+    loss_scale: float,
+    rays_per_tile: int = 8,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused trunk+composite+loss+backward for one render pass.
+
+    Args:
+      pts_emb [N, S, in_ch], views_emb [N, S, in_ch_views] (or [N, in_ch_v]
+        broadcastable), z_vals [N, S], dists_scaled [N, S] (deltas * |d|,
+        last entry 1e10 * |d|), noise [N, S] (pre-activation density noise,
+        zeros if none), target [N, 3], loss_scale = d loss / d sqerr_r
+        (e.g. 1/(3N) for the mse mean).
+
+    Returns:
+      (outs, grads): outs dict with rgb (white-composited), acc, depth,
+      weights [N, S], sqerr [N]; grads — the param-pytree cotangent of
+      ``loss_scale * sum(sqerr)`` (computed in-kernel, not via jax.grad).
+    """
+    N, S = z_vals.shape
+    R = rays_per_tile
+    Np = _round_up(N, R)
+    B = R * S
+
+    def pad_rays(x):
+        if x.shape[0] == Np:
+            return x
+        pad = Np - N
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+    emb = pad_rays(pts_emb).reshape(Np * S, -1)
+    if views_emb.ndim == 2:
+        views_emb = jnp.broadcast_to(views_emb[:, None, :], pts_emb.shape[:-1] + (views_emb.shape[-1],))
+    vemb = pad_rays(views_emb).reshape(Np * S, -1)
+    P = Np * S
+
+    emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
+        emb.astype(compute_dtype)
+    )
+    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:, : vemb.shape[-1]].set(
+        vemb.astype(compute_dtype)
+    )
+    aux = jnp.stack(
+        [pad_rays(dists_scaled).reshape(-1), pad_rays(noise).reshape(-1),
+         pad_rays(z_vals).reshape(-1)], axis=-1,
+    ).astype(jnp.float32)
+    aux_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(aux)
+    tgt_p = (
+        jnp.zeros((Np, 128), jnp.float32)
+        .at[:N, :3].set(target)
+        .at[:N, 3].set(1.0)
+    )
+
+    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    outs = _render_pass_call(
+        tuple(flat), emb_p, vemb_p, aux_p, tgt_p,
+        meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
+        float(loss_scale), interpret,
+    )
+    perray, wout = outs[-2], outs[-1]
+    dflat = outs[:-2]
+    grads = unpack_grads(list(dflat), params, cfg)
+    res = {
+        "rgb": perray[:N, :3],
+        "acc": perray[:N, 3],
+        "depth": perray[:N, 4],
+        "sqerr": perray[:N, 5],
+        "weights": wout[:, 0].reshape(Np, S)[:N],
+    }
+    return res, grads
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _render_pass_call(flat, emb_p, vemb_p, aux_p, tgt_p, D, skip, W, S, R,
+                      white_bkgd, loss_scale, interpret):
+    P = emb_p.shape[0]
+    B = R * S
+    Np = P // S
+    n_tiles = P // B
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
+    out_specs = _const_specs(list(flat))
+    out_shapes.append(jax.ShapeDtypeStruct((Np, 128), jnp.float32))  # perray
+    out_specs.append(_rays_spec(R))
+    out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # weights
+    out_specs.append(_rows_spec(B, 8))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _render_loss_kernel, D=D, skip=skip, W=W, S=S,
+            white_bkgd=white_bkgd, loss_scale=loss_scale,
+        ),
+        out_shape=tuple(out_shapes),
+        grid=(n_tiles,),
+        in_specs=[
+            _rows_spec(B),
+            _rows_spec(B),
+            _rows_spec(B, 8),
+            _rays_spec(R),
+        ]
+        + _const_specs(list(flat)),
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(emb_p, vemb_p, aux_p, tgt_p, *flat)
+    return outs
+
+
+def unpack_grads(dflat, params, cfg):
+    """Invert pack_params for the GRADIENTS: slice the zero-padded regions
+    back to each parameter's true shape (pads receive zero cotangent, so
+    plain slicing is exact)."""
+    D, W = cfg.netdepth, cfg.netwidth
+    skip = cfg.skips[0] if cfg.skips else -1
+    it = iter(dflat)
+    g = {"pts_linears": []}
+    for i, lyr in enumerate(params["pts_linears"]):
+        if i == skip + 1:
+            w_top = next(it)[: cfg.input_ch]
+            w_bot = next(it)
+            gw = jnp.concatenate([w_top, w_bot], 0)
+        elif i == 0:
+            gw = next(it)[: lyr["w"].shape[0]]
+        else:
+            gw = next(it)
+        gb = next(it)[0]
+        g["pts_linears"].append({"w": gw.astype(jnp.float32), "b": gb})
+    fa_w = next(it)
+    fa_b = next(it)[0]
+    g["feature_linear"] = {"w": fa_w[:, :W].astype(jnp.float32), "b": fa_b[:W]}
+    g["alpha_linear"] = {"w": fa_w[:, W : W + 1].astype(jnp.float32), "b": fa_b[W : W + 1]}
+    w_vf = next(it)
+    w_vv = next(it)[: cfg.input_ch_views]
+    b_v = next(it)[0]
+    g["views_linears"] = [
+        {"w": jnp.concatenate([w_vf, w_vv], 0).astype(jnp.float32), "b": b_v}
+    ]
+    w_rgb = next(it)[:, :3]
+    b_rgb = next(it)[0][:3]
+    g["rgb_linear"] = {"w": w_rgb.astype(jnp.float32), "b": b_rgb}
+    return g

@@ -1,0 +1,145 @@
+"""The two-kernel train step: coarse fused render-loss kernel -> Pallas
+sample_pdf -> fine fused render-loss kernel -> Adam.
+
+This is the flagship-performance path (vanilla/NeRFOriginal hierarchical
+rendering with the plain coarse+fine MSE loss, reference run.py:689-700).
+Gradients come from the kernels directly (computed in the same VMEM pass as
+the forward — see ops/pallas/render_fused.py), NOT from jax.grad; the RNG
+stream, sampling math and loss are bit-compatible with
+``make_train_step(make_vanilla_field(...))`` (tested against it).
+
+Not applicable to: extra losses (D-NeRF TV), the deformation field (needs
+input gradients), non-MSE objectives — those keep the autodiff path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from swnerf_tpu.ops.embedding import positional_encoding
+from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
+from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
+from swnerf_tpu.render.core import Rays, RenderConfig
+from swnerf_tpu.train.loop import TrainState, mse_to_psnr
+
+
+def supports_fused_step(cfg, fcfg, rcfg: RenderConfig) -> bool:
+    """The fused step covers the flagship family: hierarchical coarse+fine
+    (or coarse-only) vanilla rendering, fourier embeds, same coarse/fine
+    embedding dims (shared encode)."""
+    from swnerf_tpu.ops.pallas.raymarch import supports_config
+
+    ok = supports_config(cfg) and cfg.i_embed == 0
+    if fcfg is not None:
+        ok = ok and supports_config(fcfg) and fcfg.i_embed == 0
+        ok = ok and (fcfg.multires, fcfg.multires_views) == (cfg.multires, cfg.multires_views)
+    return ok
+
+
+def _dists_scaled(z_vals: jnp.ndarray, rays_d: jnp.ndarray) -> jnp.ndarray:
+    """deltas * |d| with the reference's trailing 1e10 (ray.py:163-167)."""
+    d = z_vals[..., 1:] - z_vals[..., :-1]
+    d = jnp.concatenate([d, jnp.full_like(d[..., :1], 1e10)], -1)
+    return d * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+
+def make_fused_train_step(
+    cfg,
+    rcfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    fcfg=None,
+    rays_per_tile_coarse: int = 8,
+    rays_per_tile_fine: int = 4,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build ``(state, rays, target, rng) -> (state, metrics)`` with in-kernel
+    gradients. ``cfg``/``fcfg`` are VanillaNeRFConfig for the coarse/fine
+    networks (fcfg None -> coarse net serves the fine pass when
+    n_importance > 0 with shared params['fine'] slot = None)."""
+    fine_cfg = fcfg if fcfg is not None else cfg
+
+    def train_step(state: TrainState, rays: Rays, target, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        # EXACT render_rays key schedule (render/core.py:99).
+        k_jit, k_noise0, k_pdf, k_noise1 = jax.random.split(step_rng, 4)
+        n = rays.origins.shape[0]
+        scale = 1.0 / (3.0 * n)  # d mse / d sqerr_r
+
+        z_vals = sample_along_rays(
+            k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb, rcfg.lindisp
+        )
+        vd_emb = positional_encoding(rays.viewdirs, cfg.nf_views)
+
+        def noise_for(key, shape):
+            if rcfg.raw_noise_std > 0.0:
+                return jax.random.normal(key, shape) * rcfg.raw_noise_std
+            return jnp.zeros(shape)
+
+        def pass_inputs(z, c):
+            pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
+            emb = positional_encoding(pts, c.nf_pts)
+            return emb
+
+        emb_c = pass_inputs(z_vals, cfg)
+        outs_c, grads_c = fused_render_pass(
+            state.params["coarse"], cfg, emb_c, vd_emb, z_vals,
+            _dists_scaled(z_vals, rays.directions),
+            noise_for(k_noise0, z_vals.shape), target,
+            rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_coarse,
+            interpret=interpret, compute_dtype=compute_dtype,
+        )
+        mse0 = jnp.sum(outs_c["sqerr"]) * scale
+
+        if rcfg.n_importance > 0:
+            weights = outs_c["weights"]
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(
+                z_mid, weights[..., 1:-1], rcfg.n_importance,
+                rng=k_pdf, det=(rcfg.perturb == 0.0),
+            )
+            z_all = merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))
+
+            fine_params = (
+                state.params["fine"] if state.params.get("fine") is not None
+                else state.params["coarse"]
+            )
+            emb_f = pass_inputs(z_all, fine_cfg)
+            outs_f, grads_f = fused_render_pass(
+                fine_params, fine_cfg, emb_f, vd_emb, z_all,
+                _dists_scaled(z_all, rays.directions),
+                noise_for(k_noise1, z_all.shape), target,
+                rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_fine,
+                interpret=interpret, compute_dtype=compute_dtype,
+            )
+            mse1 = jnp.sum(outs_f["sqerr"]) * scale
+            loss = mse1 + mse0
+            if state.params.get("fine") is not None:
+                grads = {"coarse": grads_c, "fine": grads_f}
+            else:
+                grads = {
+                    "coarse": jax.tree.map(jnp.add, grads_c, grads_f),
+                    "fine": None,
+                }
+            metrics = {
+                "loss": mse1,
+                "psnr": mse_to_psnr(mse1),
+                "psnr0": mse_to_psnr(mse0),
+                "total_loss": loss,
+            }
+        else:
+            loss = mse0
+            grads = {"coarse": grads_c, "fine": None}
+            metrics = {"loss": mse0, "psnr": mse_to_psnr(mse0), "total_loss": loss}
+
+        # params["fine"] may be a None leaf — optax sees the same treedef as
+        # params, so mirror it in grads (handled above).
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
