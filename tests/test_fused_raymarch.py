@@ -143,6 +143,22 @@ class TestFusedTrunk:
         # gradient w.r.t. the raw points flows through the in-kernel encoder
         np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=2e-4, rtol=1e-4)
 
+    def test_identity_embed_matches_jnp(self, rng_np):
+        """MultiRes level 3 uses the identity embedder (channel_list
+        (-1,-1,-1), reference multires_dnerf.py:665-668): input_ch = 3.
+        The fused trunk must cover it (VERDICT r1 gap)."""
+        cfg = VanillaNeRFConfig(netdepth=4, netwidth=256, skips=(1,), i_embed=-1)
+        assert cfg.input_ch == 3 and cfg.input_ch_views == 3
+        assert supports_config(cfg)
+        params = init_vanilla_params(jax.random.PRNGKey(0), cfg)
+        emb = rng_np.uniform(-1, 1, (96, 3)).astype(np.float32)
+        vemb = rng_np.standard_normal((96, 3)).astype(np.float32)
+        want = np.asarray(apply_vanilla_trunk(params, cfg, jnp.asarray(emb), jnp.asarray(vemb)))
+        got = np.asarray(
+            fused_trunk(params, cfg, jnp.asarray(emb), jnp.asarray(vemb), block=96, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
     def test_field_integration(self, rng_np, monkeypatch):
         """make_vanilla_field(fused=True) renders identically to fused=False."""
         monkeypatch.setenv("SWNERF_FUSED_DTYPE", "f32")
