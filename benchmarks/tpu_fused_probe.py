@@ -81,7 +81,7 @@ def one_pass(S, R):
 
 
 results = {}
-for S, R in ((64, 8), (64, 16), (64, 32), (192, 8), (192, 16)):
+for S, R in ((192, 4), (192, 2), (192, 8), (64, 8), (64, 16), (64, 4)):
     results[f"S{S}_R{R}"] = one_pass(S, R)
 
 # Full fused steps at surviving combos
@@ -98,10 +98,10 @@ rays = Rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(d),
 target = jnp.asarray(rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32))
 key = jax.random.PRNGKey(0)
 
-combos = [(rc, rf) for rc in (16, 32) for rf in (8, 16)
-          if results.get(f"S64_R{rc}") and results.get(f"S192_R{rf}")]
-if results.get("S64_R8") and results.get("S192_R8") and (8, 8) not in combos:
-    combos.insert(0, (8, 8))
+ok_c = [rc for rc in (8, 16, 4) if results.get(f"S64_R{rc}")]
+ok_f = sorted((rf for rf in (8, 4, 2) if results.get(f"S192_R{rf}")),
+              key=lambda rf: results[f"S192_R{rf}"])
+combos = [(rc, rf) for rc in ok_c[:2] for rf in ok_f[:2]]
 
 for rc, rf in combos:
     step = make_fused_train_step(cfg, rcfg, opt, fcfg=cfg,

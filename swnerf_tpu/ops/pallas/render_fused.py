@@ -91,10 +91,15 @@ def _seg_suffix_sum_excl(x, S: int):
     return incl - x
 
 
-def _segment_matrix(B: int, S: int, R: int):
-    """0/1 [B, R] matrix with Seg[b, r] = (b // S == r)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0) // S
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+def _segment_matrix(B: int, S: int, R: int, cols: int, col_off):
+    """0/1 [B, cols] matrix with Seg[b, col_off + b // S] = 1.
+
+    ``cols`` >= R with a traced ``col_off`` supports ray tiles smaller than
+    the 8-sublane minimum: the per-ray blocks stay (8, 128) and are
+    revisited over 8/R consecutive grid steps, each writing its R-row slice
+    (col_off = R * (step % (8/R)))."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, cols), 0) // S + col_off
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, cols), 1)
     return (row == col).astype(jnp.float32)
 
 
@@ -103,23 +108,40 @@ def _segment_matrix(B: int, S: int, R: int):
 # ---------------------------------------------------------------------------
 
 
+def _layer_fwd(emb, h_prev, ws_i, i: int, skip: int):
+    """Recompute layer i's post-relu activation from its input(s)."""
+    if i == skip + 1:
+        w_top, w_bot, b = ws_i
+        z = _mm(emb, w_top) + _mm(h_prev, w_bot) + b
+    else:
+        w, b = ws_i
+        z = _mm(emb if i == 0 else h_prev, w) + b
+    return _act_fwd(z, "relu").astype(emb.dtype)
+
+
 def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
     """Like raymarch._trunk_forward but returns the VMEM-resident caches the
-    reverse sweep needs (post-relu activations, weights, view hidden)."""
+    reverse sweep needs. VMEM economy (the fine pass tiles 8 rays x 192
+    samples = 1536 rows; a full activation cache blows the ~16 MB budget):
+    only ODD-indexed post-relu activations (+ the last) are kept — the
+    reverse sweep recomputes each even layer from its stored predecessor
+    (one extra matmul per even layer, ~6% MXU) — and feat/hv are
+    recomputed rather than cached."""
     cdt = emb.dtype
-    hs, ws = [], []
+    hs, ws = {}, []
     h = None
     for i in range(D):
         if i == skip + 1:
             w_top, w_bot, b = nxt(), nxt(), nxt()
             z = _mm(emb, w_top) + _mm(h, w_bot) + b
-            ws.append((w_top, w_bot))
+            ws.append((w_top, w_bot, b))
         else:
             w, b = nxt(), nxt()
             z = _mm(emb if i == 0 else h, w) + b
-            ws.append((w,))
+            ws.append((w, b))
         h = _act_fwd(z, "relu").astype(cdt)
-        hs.append(h)
+        if i % 2 == 1 or i == D - 1:
+            hs[i] = h
 
     fa_w, fa_b = nxt(), nxt()
     fa = _mm(h, fa_w) + fa_b
@@ -131,20 +153,30 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
     w_rgb, b_rgb = nxt(), nxt()
     rgb_logits = _mm(hv, w_rgb) + b_rgb  # [B, 128]; lanes 0-2 live
 
-    cache = dict(hs=hs, ws=ws, fa_w=fa_w, feat=feat, w_vf=w_vf, w_vv=w_vv,
-                 w_rgb=w_rgb, hv=hv)
+    cache = dict(hs=hs, ws=ws, fa_w=fa_w, fa_b=fa_b, w_vf=w_vf, w_vv=w_vv,
+                 b_v=b_v, w_rgb=w_rgb)
     return rgb_logits, alpha_raw, cache
 
 
 def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
-    """Reverse sweep on the cached forward. ``g`` [B, 128] carries the raw
-    cotangent: lanes 0-2 d rgb_logits, lane 3 d sigma. Returns the grads
-    list in pack_params order (no input grads — positions are detached on
-    this path)."""
+    """Reverse sweep on the (checkpointed) forward cache. ``g`` [B, 128]
+    carries the raw cotangent: lanes 0-2 d rgb_logits, lane 3 d sigma.
+    Returns the grads list in pack_params order (no input grads — positions
+    are detached on this path)."""
     cdt = emb.dtype
-    hs, ws = cache["hs"], cache["ws"]
-    feat, hv = cache["feat"], cache["hv"]
+    stored, ws = cache["hs"], cache["ws"]
     fa_w, w_vf, w_vv, w_rgb = cache["fa_w"], cache["w_vf"], cache["w_vv"], cache["w_rgb"]
+
+    def h_at(i):
+        if i in stored:
+            return stored[i]
+        return _layer_fwd(emb, stored[i - 1] if i else None, ws[i], i, skip)
+
+    # Recompute feat (fa slice) and hv from the last trunk activation —
+    # cheaper in VMEM than caching two [B, W] arrays across the composite.
+    fa = _mm(stored[D - 1], fa_w) + cache["fa_b"]
+    feat = fa[:, :W].astype(cdt)
+    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + cache["b_v"], "relu").astype(cdt)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g_rgb32 = jnp.where(lane < 3, g, 0.0)
@@ -166,23 +198,28 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
     dalpha_col = jnp.sum(dalpha, axis=1, keepdims=True)
     dfa = jnp.where(fa_lane == W, dalpha_col, dfa).astype(cdt)
     dh = _mmt(dfa, fa_w)
-    dW_fa = _tmm(hs[D - 1], dfa)
+    dW_fa = _tmm(stored[D - 1], dfa)
     db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
 
     trunk_grads = []
+    h_i = stored[D - 1]
     for i in range(D - 1, -1, -1):
-        dz = (dh * _act_grad(hs[i], "relu")).astype(cdt)
+        # Walking downward, layer i's input is layer i-1's output — compute
+        # it once here and carry it as the next iteration's h_i.
+        h_prev = h_at(i - 1) if i > 0 else None
+        dz = (dh * _act_grad(h_i, "relu")).astype(cdt)
         db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
         if i == skip + 1:
-            w_top, w_bot = ws[i]
-            trunk_grads.append((_tmm(emb, dz), _tmm(hs[i - 1], dz), db))
+            w_top, w_bot, _ = ws[i]
+            trunk_grads.append((_tmm(emb, dz), _tmm(h_prev, dz), db))
             dh = _mmt(dz, w_bot)
         else:
-            (w,) = ws[i]
-            x = emb if i == 0 else hs[i - 1]
+            w = ws[i][0]
+            x = emb if i == 0 else h_prev
             trunk_grads.append((_tmm(x, dz), db))
             if i != 0:
                 dh = _mmt(dz, w)
+        h_i = h_prev
 
     grads = []
     for i in range(D):
@@ -199,10 +236,14 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
 def _render_loss_kernel(
     emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
+    rev: int,
 ):
     """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
     perray_out [R, 128], weights_out [B, 128(lane 0)].
 
+    vemb_ref is PER-RAY [R, 128] (viewdirs are constant along a ray) and is
+    broadcast to rows in-kernel via the segment matmul — feeding the
+    broadcast [B, 128] from HBM would cost S x the bandwidth and VMEM.
     aux lanes: 0 = dist*|d| (last = 1e10), 1 = density noise, 2 = z.
     tgt lanes 0-2: per-ray target rgb.
     perray_out lanes: 0-2 rgb_map (white-composited), 3 acc, 4 depth,
@@ -219,9 +260,12 @@ def _render_loss_kernel(
             r[:] = jnp.zeros_like(r)
 
     emb = emb_ref[:].astype(cdt)
-    vemb = vemb_ref[:].astype(cdt)
     B = emb.shape[0]
     R = B // S
+    RP = R * rev  # per-ray block rows (>= 8); rev > 1 => revisited block
+    col_off = R * (pl.program_id(0) % rev) if rev > 1 else 0
+    seg = _segment_matrix(B, S, R, RP, col_off)
+    vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
     nxt = _ref_iter(wrefs)
     rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W)
@@ -246,11 +290,12 @@ def _render_loss_kernel(
     w = alpha * trans  # weights [B,1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb_logits.shape, 1)
-    rgb = jax.nn.sigmoid(rgb_logits)
+    # Kept live into the backward (drgb, dldw) — compute dtype is enough;
+    # mixed f32/cdt arithmetic below promotes to f32.
+    rgb = jax.nn.sigmoid(rgb_logits).astype(cdt)
     vals = jnp.where(
         lane < 3, w * rgb, jnp.where(lane == 3, w, jnp.where(lane == 4, w * z, 0.0))
     )
-    seg = _segment_matrix(B, S, R)
     perray = _tmm(seg, vals)  # [R, 128]: 0-2 sum w*rgb, 3 acc, 4 depth
 
     plane = jax.lax.broadcasted_iota(jnp.int32, perray.shape, 1)
@@ -259,10 +304,22 @@ def _render_loss_kernel(
         perray = jnp.where(plane < 3, perray + (1.0 - acc_col), perray)
     tgt = tgt_ref[:]
     valid = tgt[:, 3:4]  # 1.0 for real rays, 0.0 for ray-count padding
+    if rev > 1:
+        # Only this step's R-row slice of the (8,128) per-ray block is
+        # live; rows of the other visits see the other rays' targets with
+        # zero perray — mask them out of the error/cotangent entirely.
+        prow = jax.lax.broadcasted_iota(jnp.int32, perray.shape, 0)
+        valid = valid * jnp.where(
+            (prow[:, :1] >= col_off) & (prow[:, :1] < col_off + R), 1.0, 0.0
+        )
     err = jnp.where(plane < 3, (perray - tgt) * valid, 0.0)
     sqerr_col = jnp.sum(err * err, axis=1, keepdims=True)
     perray = jnp.where(plane == 5, sqerr_col, perray)
-    perray_ref[:] = perray
+    if rev > 1:
+        live = (prow >= col_off) & (prow < col_off + R)
+        perray_ref[:] = jnp.where(live, perray, perray_ref[:])
+    else:
+        perray_ref[:] = perray
     wout_ref[:] = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1) == 0, w, 0.0
     )
@@ -336,11 +393,11 @@ def fused_render_pass(
     """Fused trunk+composite+loss+backward for one render pass.
 
     Args:
-      pts_emb [N, S, in_ch], views_emb [N, S, in_ch_views] (or [N, in_ch_v]
-        broadcastable), z_vals [N, S], dists_scaled [N, S] (deltas * |d|,
-        last entry 1e10 * |d|), noise [N, S] (pre-activation density noise,
-        zeros if none), target [N, 3], loss_scale = d loss / d sqerr_r
-        (e.g. 1/(3N) for the mse mean).
+      pts_emb [N, S, in_ch], views_emb [N, in_ch_views] PER RAY (broadcast
+        over samples happens in-kernel), z_vals [N, S], dists_scaled [N, S]
+        (deltas * |d|, last entry 1e10 * |d|), noise [N, S] (pre-activation
+        density noise, zeros if none), target [N, 3], loss_scale =
+        d loss / d sqerr_r (e.g. 1/(3N) for the mse mean).
 
     Returns:
       (outs, grads): outs dict with rgb (white-composited), acc, depth,
@@ -349,7 +406,8 @@ def fused_render_pass(
     """
     N, S = z_vals.shape
     R = rays_per_tile
-    Np = _round_up(N, R)
+    assert R in (1, 2, 4) or R % 8 == 0, R  # per-ray blocks tile in 8s
+    Np = _round_up(N, max(R, 8))
     B = R * S
 
     def pad_rays(x):
@@ -358,17 +416,16 @@ def fused_render_pass(
         pad = Np - N
         return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
 
+    assert views_emb.ndim == 2, "views_emb is per-ray [N, in_ch_views]"
     emb = pad_rays(pts_emb).reshape(Np * S, -1)
-    if views_emb.ndim == 2:
-        views_emb = jnp.broadcast_to(views_emb[:, None, :], pts_emb.shape[:-1] + (views_emb.shape[-1],))
-    vemb = pad_rays(views_emb).reshape(Np * S, -1)
+    vemb = pad_rays(views_emb)
     P = Np * S
 
     emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
         emb.astype(compute_dtype)
     )
-    vemb_p = jnp.zeros((P, 128), compute_dtype).at[:, : vemb.shape[-1]].set(
-        vemb.astype(compute_dtype)
+    vemb_p = jnp.zeros((Np, 128), jnp.float32).at[:, : vemb.shape[-1]].set(
+        vemb.astype(jnp.float32)
     )
     aux = jnp.stack(
         [pad_rays(dists_scaled).reshape(-1), pad_rays(noise).reshape(-1),
@@ -407,25 +464,32 @@ def _render_pass_call(flat, emb_p, vemb_p, aux_p, tgt_p, D, skip, W, S, R,
     B = R * S
     Np = P // S
     n_tiles = P // B
+    rev = max(1, 8 // R)
+    # Ray tiles < 8 rays: the (8,128) per-ray block is revisited across
+    # ``rev`` consecutive grid steps, each handling its R-row slice (Mosaic
+    # requires >= 8 sublanes per block; Np is padded to a multiple of 8).
+    ray_spec = pl.BlockSpec(
+        (max(R, 8), 128), lambda i: (i // rev, 0), memory_space=pltpu.VMEM
+    )
     out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
     out_specs = _const_specs(list(flat))
     out_shapes.append(jax.ShapeDtypeStruct((Np, 128), jnp.float32))  # perray
-    out_specs.append(_rays_spec(R))
+    out_specs.append(ray_spec)
     out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # weights
     out_specs.append(_rows_spec(B, 8))
 
     outs = pl.pallas_call(
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
-            white_bkgd=white_bkgd, loss_scale=loss_scale,
+            white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),
         in_specs=[
             _rows_spec(B),
-            _rows_spec(B),
+            ray_spec,  # per-ray viewdir embedding
             _rows_spec(B, 8),
-            _rays_spec(R),
+            ray_spec,
         ]
         + _const_specs(list(flat)),
         out_specs=tuple(out_specs),

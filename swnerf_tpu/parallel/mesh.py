@@ -110,6 +110,28 @@ def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnum
     )
 
 
+def shard_map_train_step(train_step, mesh: Mesh):
+    """Wrap a ``(state, rays, target, rng) -> (state, metrics)`` step with
+    ``shard_map`` over the ``rays`` axis: state/rng replicated, batch
+    sharded on its leading axis, outputs replicated.
+
+    This is the mesh path for steps containing Pallas kernels (the fused
+    render-loss step, train/fused_step.py): GSPMD cannot partition a Mosaic
+    custom call, so each device runs the kernels on its ray shard and the
+    step reduces grads/metrics itself via ``pmean`` (it must be built with
+    ``axis_name=RAYS_AXIS``). Returns the UNJITTED mapped step — compose
+    with jax.jit or the CLI scan wrappers."""
+    shd = P(RAYS_AXIS)
+    rep = P()
+    return jax.shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(rep, shd, shd, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+
+
 def shard_train_step(train_step, mesh: Mesh, donate_state: bool = True):
     """Jit a ``(state, rays, target, rng) -> (state, metrics)`` step for the
     mesh: state replicated (and donated), batch sharded over ``rays``.

@@ -123,7 +123,7 @@ def main(argv=None):
     args = config_parser().parse_args(argv)
     from swnerf_tpu.pipelines.run_nerf import create_vanilla
 
-    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
+    field, fine_field, rcfg, optimizer, state, start, _cfgs = create_vanilla(args)
     # Query the fine network when present (reference uses model_fine,
     # extract_mesh.py:176) — through the fine FIELD so distinct fine dims
     # query correctly.

@@ -25,7 +25,7 @@ def load_model(argv=None):
     from swnerf_tpu.pipelines.run_nerf import create_vanilla
 
     args = config_parser().parse_args(argv)
-    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
+    field, fine_field, rcfg, optimizer, state, start, _cfgs = create_vanilla(args)
     # Query the fine network THROUGH the fine field (distinct
     # netdepth_fine/netwidth_fine architectures query correctly).
     if state.params["fine"] is not None:

@@ -66,6 +66,7 @@ def create_vanilla(args):
     )
     field = make_vanilla_field(mcfg)
     fine_field = None
+    fcfg = None
     key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
     k1, k2 = jax.random.split(key)
     params = {"coarse": field.init(k1), "fine": None}
@@ -120,7 +121,7 @@ def create_vanilla(args):
         )
         state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
 
-    return field, fine_field, rcfg, optimizer, state, start
+    return field, fine_field, rcfg, optimizer, state, start, (mcfg, fcfg)
 
 
 def save_vanilla_ckpt(args, state: TrainState, i: int):
@@ -151,7 +152,7 @@ def train(argv=None):
     os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
     snapshot_args(args.basedir, args.expname, args, args.config)
 
-    field, fine_field, rcfg, optimizer, state, start = create_vanilla(args)
+    field, fine_field, rcfg, optimizer, state, start, (mcfg, fcfg) = create_vanilla(args)
 
     # Rays-mesh data parallelism whenever >1 device is visible: training
     # shards the pixel/index batch, eval shards render tiles (SURVEY.md §2.7
@@ -180,7 +181,43 @@ def train(argv=None):
 
     profiler = StepProfiler()
     logger = ExperimentLogger(args.basedir, args.expname)
-    train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
+    # The two-kernel fused train step (coarse render-loss kernel -> Pallas
+    # sample_pdf -> fine render-loss kernel, gradients computed in-VMEM) is
+    # the flagship-performance path on TPU (train/fused_step.py;
+    # PERFORMANCE.md). Falls back to the autodiff step off-TPU, for
+    # unsupported architectures, or with SWNERF_FUSED_STEP=0 / SWNERF_FUSED=0.
+    from swnerf_tpu.train.fused_step import make_fused_train_step, supports_fused_step
+
+    interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
+    use_fused_step = supports_fused_step(mcfg, fcfg, rcfg) and (
+        interp
+        or (
+            jax.devices()[0].platform == "tpu"
+            and os.environ.get("SWNERF_FUSED", "1") != "0"
+            and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+            and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+        )
+    )
+    if use_fused_step:
+        if mesh is not None:
+            from swnerf_tpu.parallel.mesh import RAYS_AXIS, shard_map_train_step
+
+            train_step = shard_map_train_step(
+                make_fused_train_step(
+                    mcfg, rcfg, optimizer, fcfg=fcfg, axis_name=RAYS_AXIS,
+                    interpret=interp,
+                    compute_dtype=jnp.float32 if interp else jnp.bfloat16,
+                ),
+                mesh,
+            )
+        else:
+            train_step = make_fused_train_step(
+                mcfg, rcfg, optimizer, fcfg=fcfg, interpret=interp,
+                compute_dtype=jnp.float32 if interp else jnp.bfloat16,
+            )
+        print("Using the fused two-kernel train step")
+    else:
+        train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
 
     # K steps per dispatch: a lax.scan inside one jit amortizes the per-step

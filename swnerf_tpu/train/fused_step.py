@@ -53,22 +53,34 @@ def make_fused_train_step(
     optimizer: optax.GradientTransformation,
     fcfg=None,
     rays_per_tile_coarse: int = 8,
-    rays_per_tile_fine: int = 4,
+    rays_per_tile_fine: int = 8,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    axis_name: Optional[str] = None,
 ):
     """Build ``(state, rays, target, rng) -> (state, metrics)`` with in-kernel
     gradients. ``cfg``/``fcfg`` are VanillaNeRFConfig for the coarse/fine
     networks (fcfg None -> coarse net serves the fine pass when
-    n_importance > 0 with shared params['fine'] slot = None)."""
+    n_importance > 0 with shared params['fine'] slot = None).
+
+    ``axis_name``: run under ``shard_map`` over a rays mesh — rays/target
+    arrive per-shard, grads and loss terms are ``pmean``-reduced over the
+    axis before the (replicated) Adam update. Pallas kernels cannot be
+    GSPMD-partitioned, so the mesh path for this step is shard_map, unlike
+    the autodiff path's jit-with-shardings (parallel/mesh.py). Per-shard
+    RNG is folded with the axis index: the noise/jitter streams are
+    independent per shard (same distribution as single-device, not the
+    same bits)."""
     fine_cfg = fcfg if fcfg is not None else cfg
 
     def train_step(state: TrainState, rays: Rays, target, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
         # EXACT render_rays key schedule (render/core.py:99).
         k_jit, k_noise0, k_pdf, k_noise1 = jax.random.split(step_rng, 4)
         n = rays.origins.shape[0]
-        scale = 1.0 / (3.0 * n)  # d mse / d sqerr_r
+        scale = 1.0 / (3.0 * n)  # d mse / d sqerr_r (per-shard n; pmean below)
 
         z_vals = sample_along_rays(
             k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb, rcfg.lindisp
@@ -117,6 +129,9 @@ def make_fused_train_step(
                 interpret=interpret, compute_dtype=compute_dtype,
             )
             mse1 = jnp.sum(outs_f["sqerr"]) * scale
+            if axis_name is not None:
+                mse0 = jax.lax.pmean(mse0, axis_name)
+                mse1 = jax.lax.pmean(mse1, axis_name)
             loss = mse1 + mse0
             if state.params.get("fine") is not None:
                 grads = {"coarse": grads_c, "fine": grads_f}
@@ -132,9 +147,16 @@ def make_fused_train_step(
                 "total_loss": loss,
             }
         else:
+            if axis_name is not None:
+                mse0 = jax.lax.pmean(mse0, axis_name)
             loss = mse0
             grads = {"coarse": grads_c, "fine": None}
             metrics = {"loss": mse0, "psnr": mse_to_psnr(mse0), "total_loss": loss}
+
+        if axis_name is not None:
+            # Per-shard grads are d(local mse)/dθ with local 1/(3n) scaling;
+            # the global-batch gradient is their mean over the axis.
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), grads)
 
         # params["fine"] may be a None leaf — optax sees the same treedef as
         # params, so mirror it in grads (handled above).

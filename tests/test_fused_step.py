@@ -26,7 +26,8 @@ def _rays(n=32, seed=0):
     return rays, render_gt(rays, n_samples=32)
 
 
-def _setup(n_importance, white_bkgd=True, noise=0.7, two_nets=True, perturb=1.0):
+def _setup(n_importance, white_bkgd=True, noise=0.7, two_nets=True, perturb=1.0,
+           tiles=(8, 8)):
     cfg = VanillaNeRFConfig(netdepth=3, netwidth=128, skips=(1,), multires=4,
                             multires_views=2)
     field = make_vanilla_field(cfg, fused=False)
@@ -42,6 +43,7 @@ def _setup(n_importance, white_bkgd=True, noise=0.7, two_nets=True, perturb=1.0)
     fused_step = make_fused_train_step(
         cfg, rcfg, opt, fcfg=cfg if (n_importance and two_nets) else None,
         interpret=True, compute_dtype=jnp.float32,
+        rays_per_tile_coarse=tiles[0], rays_per_tile_fine=tiles[1],
     )
     return cfg, rcfg, state, ref_step, fused_step
 
@@ -90,11 +92,60 @@ class TestFusedStep:
         rays, target = _rays(32)
         _compare_one_step(state, ref_step, fused_step, rays, target, atol=2e-4)
 
+    @pytest.mark.parametrize("tiles", [(4, 2), (2, 4)])
+    def test_sub8_ray_tiles(self, tiles):
+        """rays_per_tile < 8: the (8,128) per-ray blocks are revisited over
+        8/R grid steps with masked row writes (Mosaic sublane minimum —
+        needed so the fine pass (S=192) fits VMEM at small tiles)."""
+        _, _, state, ref_step, fused_step = _setup(n_importance=8, tiles=tiles)
+        rays, target = _rays(20)  # also exercises ray padding to 24/16-row blocks
+        _compare_one_step(state, ref_step, fused_step, rays, target, atol=2e-4)
+
     def test_ray_count_padding(self):
         """N not divisible by rays_per_tile: padded rays contribute nothing."""
         _, _, state, ref_step, fused_step = _setup(n_importance=8)
         rays, target = _rays(27)  # pads to 32 coarse (R=8) / 28 fine (R=4)
         _compare_one_step(state, ref_step, fused_step, rays, target, atol=2e-4)
+
+    def test_shard_map_matches_single_device(self):
+        """The mesh path for the fused step: Pallas kernels can't be GSPMD-
+        partitioned, so shard_map runs them per ray-shard and the step
+        pmean-reduces grads/metrics (axis_name). Deterministic config
+        (perturb=0, noise=0) -> the 8-way sharded update must match the
+        single-device one up to reduction reassociation."""
+        from swnerf_tpu.parallel.mesh import RAYS_AXIS, make_mesh, shard_map_train_step
+
+        cfg = VanillaNeRFConfig(netdepth=3, netwidth=128, skips=(1,), multires=4,
+                                multires_views=2)
+        field = make_vanilla_field(cfg, fused=False)
+        rcfg = RenderConfig(n_samples=8, n_importance=8, perturb=0.0,
+                            white_bkgd=True, raw_noise_std=0.0)
+        opt = make_optimizer(lrate=5e-3)
+        params = {"coarse": field.init(jax.random.PRNGKey(0)),
+                  "fine": field.init(jax.random.PRNGKey(1))}
+        state = init_train_state(params, opt)
+        rays, target = _rays(32)
+        key = jax.random.PRNGKey(7)
+
+        single = make_fused_train_step(cfg, rcfg, opt, fcfg=cfg, interpret=True,
+                                       compute_dtype=jnp.float32)
+        s_single, m_single = single(state, rays, target, key)
+
+        mesh = make_mesh(jax.devices()[:8])
+        sharded = shard_map_train_step(
+            make_fused_train_step(cfg, rcfg, opt, fcfg=cfg, interpret=True,
+                                  compute_dtype=jnp.float32, axis_name=RAYS_AXIS),
+            mesh,
+        )
+        s_shard, m_shard = jax.jit(sharded)(state, rays, target, key)
+
+        assert float(m_single["total_loss"]) == pytest.approx(
+            float(m_shard["total_loss"]), rel=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+            # pmean over 8 shards reassociates the f32 reductions, and Adam's
+            # sqrt(v)+eps normalization amplifies that on near-zero grads
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
     def test_multi_step_trains(self):
         _, _, state, ref_step, fused_step = _setup(n_importance=8, noise=0.5)

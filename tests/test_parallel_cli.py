@@ -69,6 +69,29 @@ class TestShardedCLI:
         for k in sd_par:
             np.testing.assert_allclose(sd_par[k], sd_single[k], atol=2e-5, err_msg=k)
 
+    def test_fused_step_sharded_cli(self, tmp_path, dataset, monkeypatch):
+        """run_nerf's fused two-kernel train step under the 8-device mesh:
+        SWNERF_FUSED_STEP=force-interpret routes the Pallas kernels through
+        interpret mode so the CPU mesh executes them via shard_map (the
+        GSPMD path can't partition Mosaic custom calls). Covers the
+        kernels-under-a-mesh interaction end-to-end at the CLI surface."""
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "3")
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        logs = tmp_path / "logs"
+        m = train(_base_args(dataset, logs, [
+            # smallest fused-supported shape: skips=(4,) needs netdepth >= 6,
+            # netwidth % 128 == 0
+            "--netdepth", "6", "--netwidth", "128",
+            "--netdepth_fine", "6", "--netwidth_fine", "128",
+            "--N_importance", "4", "--N_samples", "4",
+            "--i_weights", "2",
+        ]))
+        assert np.isfinite(m["total_loss"])
+        assert (logs / "tiny" / "000002.tar").exists()
+
     def test_uneven_batch_shards(self, tmp_path, dataset, monkeypatch):
         """N_rand not divisible by the device count still trains on the
         largest divisor mesh (e.g. N_rand=20 on 8 devices -> 5 chips; the
