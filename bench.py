@@ -31,7 +31,9 @@ def main():
     mcommon.set_matmul_precision(getattr(jax.lax.Precision, prec))
 
     from swnerf_tpu.data.synthetic import render_gt
+    from swnerf_tpu.models import VanillaNeRFConfig
     from swnerf_tpu.train import make_optimizer, make_train_step
+    from swnerf_tpu.train.fused_step import make_fused_train_step, supports_fused_step
     from swnerf_tpu.train.loop import init_train_state
     from __graft_entry__ import _flagship
 
@@ -42,7 +44,20 @@ def main():
     target = render_gt(rays, n_samples=64)
     opt = make_optimizer()
     state = init_train_state(params, opt)
-    step = make_train_step(field, rcfg, opt)
+    mcfg = VanillaNeRFConfig()  # _flagship's model config (D=8, W=256)
+    use_fused_step = (
+        jax.devices()[0].platform == "tpu"
+        and prec == "DEFAULT"
+        and os.environ.get("SWNERF_FUSED", "1") != "0"
+        and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+        and supports_fused_step(mcfg, mcfg, rcfg)
+    )
+    if use_fused_step:
+        # The product path (run_nerf wiring): coarse render-loss kernel ->
+        # Pallas sample_pdf -> fine render-loss kernel, grads in-VMEM.
+        step = make_fused_train_step(mcfg, rcfg, opt, fcfg=mcfg)
+    else:
+        step = make_train_step(field, rcfg, opt)
     key = jax.random.PRNGKey(0)
 
     iters = 100

@@ -52,8 +52,8 @@ def make_fused_train_step(
     rcfg: RenderConfig,
     optimizer: optax.GradientTransformation,
     fcfg=None,
-    rays_per_tile_coarse: int = 8,
-    rays_per_tile_fine: int = 8,
+    rays_per_tile_coarse: Optional[int] = None,
+    rays_per_tile_fine: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     axis_name: Optional[str] = None,
@@ -71,6 +71,14 @@ def make_fused_train_step(
     RNG is folded with the axis index: the noise/jitter streams are
     independent per shard (same distribution as single-device, not the
     same bits)."""
+    import os
+
+    # VMEM-validated v5e defaults (benchmarks/tpu_fused_probe.py): the fine
+    # pass (S=192) only fits at small ray tiles.
+    if rays_per_tile_coarse is None:
+        rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    if rays_per_tile_fine is None:
+        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
     fine_cfg = fcfg if fcfg is not None else cfg
 
     def train_step(state: TrainState, rays: Rays, target, rng):
