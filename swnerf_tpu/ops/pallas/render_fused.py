@@ -44,11 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 from swnerf_tpu.ops.pallas.raymarch import (
     _act_fwd,
     _act_grad,
+    _embed_fwd,
     _mm,
     _mmt,
     _ref_iter,
     _round_up,
     _tmm,
+    build_embed_consts,
     pack_params,
 )
 
@@ -236,7 +238,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
 def _render_loss_kernel(
     emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
-    rev: int,
+    rev: int, encode: bool,
 ):
     """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
     perray_out [R, 128], weights_out [B, 128(lane 0)].
@@ -248,6 +250,8 @@ def _render_loss_kernel(
     tgt lanes 0-2: per-ray target rgb.
     perray_out lanes: 0-2 rgb_map (white-composited), 3 acc, 4 depth,
     5 sqerr."""
+    n_c = 4 if encode else 0  # fourier-encoder consts (E0, S, PHASE, MASK)
+    crefs, refs = refs[:n_c], refs[n_c:]
     n_w = (len(refs) - 2) // 2
     wrefs = refs[:n_w]
     grefs = refs[n_w:-2]
@@ -259,7 +263,15 @@ def _render_loss_kernel(
         for r in grefs:
             r[:] = jnp.zeros_like(r)
 
-    emb = emb_ref[:].astype(cdt)
+    if encode:
+        # Positions arrive raw [B, 8] (xyz in lanes 0-2); the fourier
+        # encoding runs in-kernel (matmul + phase-shifted sin) — feeding
+        # pre-embedded [B, 128] rows from HBM costs 16x the bandwidth.
+        emb = _embed_fwd(
+            emb_ref[:], crefs[0][:], crefs[1][:], crefs[2][:], crefs[3][:]
+        ).astype(cdt)
+    else:
+        emb = emb_ref[:].astype(cdt)
     B = emb.shape[0]
     R = B // S
     RP = R * rev  # per-ray block rows (>= 8); rev > 1 => revisited block
@@ -389,11 +401,15 @@ def fused_render_pass(
     rays_per_tile: int = 8,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    pts: jnp.ndarray = None,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
     Args:
-      pts_emb [N, S, in_ch], views_emb [N, in_ch_views] PER RAY (broadcast
+      pts_emb [N, S, in_ch] pre-embedded positions, OR pts [N, S, 3] raw
+        positions (pts_emb=None) to run the fourier encoding in-kernel —
+        the preferred TPU path: 16x less HBM input traffic;
+      views_emb [N, in_ch_views] PER RAY (broadcast
         over samples happens in-kernel), z_vals [N, S], dists_scaled [N, S]
         (deltas * |d|, last entry 1e10 * |d|), noise [N, S] (pre-activation
         density noise, zeros if none), target [N, 3], loss_scale =
@@ -417,13 +433,22 @@ def fused_render_pass(
         return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
 
     assert views_emb.ndim == 2, "views_emb is per-ray [N, in_ch_views]"
-    emb = pad_rays(pts_emb).reshape(Np * S, -1)
     vemb = pad_rays(views_emb)
     P = Np * S
 
-    emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
-        emb.astype(compute_dtype)
-    )
+    if pts is not None:
+        assert pts_emb is None and cfg.nf_pts >= 0
+        x = pad_rays(pts).reshape(P, 3)
+        emb_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(x)
+        consts = tuple(
+            jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3)
+        )
+    else:
+        emb = pad_rays(pts_emb).reshape(P, -1)
+        emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
+            emb.astype(compute_dtype)
+        )
+        consts = ()
     vemb_p = jnp.zeros((Np, 128), jnp.float32).at[:, : vemb.shape[-1]].set(
         vemb.astype(jnp.float32)
     )
@@ -440,7 +465,7 @@ def fused_render_pass(
 
     flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     outs = _render_pass_call(
-        tuple(flat), emb_p, vemb_p, aux_p, tgt_p,
+        tuple(flat), consts, emb_p, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret,
     )
@@ -457,9 +482,10 @@ def fused_render_pass(
     return res, grads
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
-def _render_pass_call(flat, emb_p, vemb_p, aux_p, tgt_p, D, skip, W, S, R,
-                      white_bkgd, loss_scale, interpret):
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
+                      S, R, white_bkgd, loss_scale, interpret):
+    encode = len(consts) > 0
     P = emb_p.shape[0]
     B = R * S
     Np = P // S
@@ -482,19 +508,21 @@ def _render_pass_call(flat, emb_p, vemb_p, aux_p, tgt_p, D, skip, W, S, R,
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
+            encode=encode,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),
         in_specs=[
-            _rows_spec(B),
+            _rows_spec(B, 8 if encode else 128),  # raw pts or embedded rows
             ray_spec,  # per-ray viewdir embedding
             _rows_spec(B, 8),
             ray_spec,
         ]
+        + _const_specs(list(consts))
         + _const_specs(list(flat)),
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(emb_p, vemb_p, aux_p, tgt_p, *flat)
+    )(emb_p, vemb_p, aux_p, tgt_p, *consts, *flat)
     return outs
 
 

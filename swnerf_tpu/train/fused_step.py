@@ -100,18 +100,16 @@ def make_fused_train_step(
                 return jax.random.normal(key, shape) * rcfg.raw_noise_std
             return jnp.zeros(shape)
 
-        def pass_inputs(z, c):
-            pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
-            emb = positional_encoding(pts, c.nf_pts)
-            return emb
+        def pass_pts(z):
+            return rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
 
-        emb_c = pass_inputs(z_vals, cfg)
         outs_c, grads_c = fused_render_pass(
-            state.params["coarse"], cfg, emb_c, vd_emb, z_vals,
+            state.params["coarse"], cfg, None, vd_emb, z_vals,
             _dists_scaled(z_vals, rays.directions),
             noise_for(k_noise0, z_vals.shape), target,
             rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_coarse,
             interpret=interpret, compute_dtype=compute_dtype,
+            pts=pass_pts(z_vals),
         )
         mse0 = jnp.sum(outs_c["sqerr"]) * scale
 
@@ -128,13 +126,13 @@ def make_fused_train_step(
                 state.params["fine"] if state.params.get("fine") is not None
                 else state.params["coarse"]
             )
-            emb_f = pass_inputs(z_all, fine_cfg)
             outs_f, grads_f = fused_render_pass(
-                fine_params, fine_cfg, emb_f, vd_emb, z_all,
+                fine_params, fine_cfg, None, vd_emb, z_all,
                 _dists_scaled(z_all, rays.directions),
                 noise_for(k_noise1, z_all.shape), target,
                 rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_fine,
                 interpret=interpret, compute_dtype=compute_dtype,
+                pts=pass_pts(z_all),
             )
             mse1 = jnp.sum(outs_f["sqerr"]) * scale
             if axis_name is not None:
