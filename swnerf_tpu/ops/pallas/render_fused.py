@@ -121,14 +121,16 @@ def _layer_fwd(emb, h_prev, ws_i, i: int, skip: int):
     return _act_fwd(z, "relu").astype(emb.dtype)
 
 
-def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
+def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
+                    remat: bool = True):
     """Like raymarch._trunk_forward but returns the VMEM-resident caches the
-    reverse sweep needs. VMEM economy (the fine pass tiles 8 rays x 192
-    samples = 1536 rows; a full activation cache blows the ~16 MB budget):
-    only ODD-indexed post-relu activations (+ the last) are kept — the
-    reverse sweep recomputes each even layer from its stored predecessor
-    (one extra matmul per even layer, ~6% MXU) — and feat/hv are
-    recomputed rather than cached."""
+    reverse sweep needs. VMEM economy (the fine pass tiles R rays x 192
+    samples; a full activation cache can blow the ~16 MB budget): with
+    ``remat`` only ODD-indexed post-relu activations (+ the last) are kept —
+    the reverse sweep recomputes each even layer from its stored predecessor
+    (one extra matmul per even layer, ~6% MXU) — and feat/hv are recomputed
+    rather than cached. ``remat=False`` stores every layer (preferred when
+    the tile is small enough to fit)."""
     cdt = emb.dtype
     hs, ws = {}, []
     h = None
@@ -142,7 +144,7 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
             z = _mm(emb if i == 0 else h, w) + b
             ws.append((w, b))
         h = _act_fwd(z, "relu").astype(cdt)
-        if i % 2 == 1 or i == D - 1:
+        if (not remat) or i % 2 == 1 or i == D - 1:
             hs[i] = h
 
     fa_w, fa_b = nxt(), nxt()
@@ -157,6 +159,8 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int):
 
     cache = dict(hs=hs, ws=ws, fa_w=fa_w, fa_b=fa_b, w_vf=w_vf, w_vv=w_vv,
                  b_v=b_v, w_rgb=w_rgb)
+    if not remat:
+        cache["feat"], cache["hv"] = feat, hv
     return rgb_logits, alpha_raw, cache
 
 
@@ -174,11 +178,14 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
             return stored[i]
         return _layer_fwd(emb, stored[i - 1] if i else None, ws[i], i, skip)
 
-    # Recompute feat (fa slice) and hv from the last trunk activation —
-    # cheaper in VMEM than caching two [B, W] arrays across the composite.
-    fa = _mm(stored[D - 1], fa_w) + cache["fa_b"]
-    feat = fa[:, :W].astype(cdt)
-    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + cache["b_v"], "relu").astype(cdt)
+    if "feat" in cache:
+        feat, hv = cache["feat"], cache["hv"]
+    else:
+        # Recompute feat (fa slice) and hv from the last trunk activation —
+        # cheaper in VMEM than caching two [B, W] arrays across the composite.
+        fa = _mm(stored[D - 1], fa_w) + cache["fa_b"]
+        feat = fa[:, :W].astype(cdt)
+        hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + cache["b_v"], "relu").astype(cdt)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g_rgb32 = jnp.where(lane < 3, g, 0.0)
@@ -238,7 +245,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
 def _render_loss_kernel(
     emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
-    rev: int, encode: bool,
+    rev: int, encode: bool, remat: bool,
 ):
     """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
     perray_out [R, 128], weights_out [B, 128(lane 0)].
@@ -280,7 +287,7 @@ def _render_loss_kernel(
     vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
     nxt = _ref_iter(wrefs)
-    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W)
+    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W, remat=remat)
 
     aux = aux_ref[:]
     dist = aux[:, 0:1]
@@ -402,6 +409,7 @@ def fused_render_pass(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     pts: jnp.ndarray = None,
+    remat: bool = True,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -467,7 +475,7 @@ def fused_render_pass(
     outs = _render_pass_call(
         tuple(flat), consts, emb_p, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
-        float(loss_scale), interpret,
+        float(loss_scale), interpret, bool(remat),
     )
     perray, wout = outs[-2], outs[-1]
     dflat = outs[:-2]
@@ -482,9 +490,9 @@ def fused_render_pass(
     return res, grads
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
-                      S, R, white_bkgd, loss_scale, interpret):
+                      S, R, white_bkgd, loss_scale, interpret, remat=True):
     encode = len(consts) > 0
     P = emb_p.shape[0]
     B = R * S
@@ -508,7 +516,7 @@ def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
-            encode=encode,
+            encode=encode, remat=remat,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),

@@ -79,6 +79,9 @@ def make_fused_train_step(
         rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
     if rays_per_tile_fine is None:
         rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+    # Full activation cache (remat=0) trades VMEM for ~6 fewer matmuls per
+    # tile; viable at small tiles — see PERFORMANCE.md.
+    remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
     fine_cfg = fcfg if fcfg is not None else cfg
 
     def train_step(state: TrainState, rays: Rays, target, rng):
@@ -109,7 +112,7 @@ def make_fused_train_step(
             noise_for(k_noise0, z_vals.shape), target,
             rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_coarse,
             interpret=interpret, compute_dtype=compute_dtype,
-            pts=pass_pts(z_vals),
+            pts=pass_pts(z_vals), remat=remat,
         )
         mse0 = jnp.sum(outs_c["sqerr"]) * scale
 
@@ -132,7 +135,7 @@ def make_fused_train_step(
                 noise_for(k_noise1, z_all.shape), target,
                 rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_fine,
                 interpret=interpret, compute_dtype=compute_dtype,
-                pts=pass_pts(z_all),
+                pts=pass_pts(z_all), remat=remat,
             )
             mse1 = jnp.sum(outs_f["sqerr"]) * scale
             if axis_name is not None:
