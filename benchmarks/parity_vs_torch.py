@@ -173,6 +173,7 @@ def write_config(path, cfg, expname, basedir):
 
 def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     install_reference_stubs()
+    import numpy as np
     import torch
 
     torch.manual_seed(int(os.environ.get("PARITY_REF_SEED", "0")))
@@ -180,6 +181,12 @@ def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     t0 = time.time()
     mod = import_reference_module(runner)
     torch.autograd.set_detect_anomaly(False)  # utils.py:2 foot-gun; speed only
+    # The reference pins numpy to seed 0 at import (run.py:37), so every run
+    # shares one image/pixel-selection stream; PARITY_REF_NPSEED re-seeds it
+    # for honest cross-seed variance estimates.
+    npseed = os.environ.get("PARITY_REF_NPSEED")
+    if npseed is not None:
+        np.random.seed(int(npseed))
 
     if mode == "nerf":
         # The vanilla runner hardcodes N_iters=200 001 (run.py:625); cap the

@@ -1,0 +1,79 @@
+"""Seed-spread study for the PSNR-parity gate, run on the real TPU (the
+product path: fused bf16 kernels + Pallas sample_pdf).
+
+Loops SWNERF_SEED over several values in ONE process (jit caches are shape-
+keyed, so seeds 1+ pay no recompiles), training on the same on-disk
+synthetic scene/config as benchmarks/parity_vs_torch.py and evaluating with
+the same deterministic renderer. Gives the honest run-to-run spread of OUR
+final test PSNR to compare against the reference's CPU runs.
+
+Usage:
+  PARITY_ITERS=2000 PARITY_SEEDS=0,1,2,3 python benchmarks/tpu_parity_seeds.py
+"""
+
+import importlib.util
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+spec = importlib.util.spec_from_file_location(
+    "parity_vs_torch", "/root/repo/benchmarks/parity_vs_torch.py"
+)
+pv = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(pv)
+
+
+def main():
+    import argparse as ap
+
+    import numpy as np
+
+    mode = os.environ.get("PARITY_MODE", "nerf")
+    iters = int(os.environ.get("PARITY_ITERS", "2000"))
+    out = os.environ.get("PARITY_OUT", "/tmp/parity_tpu")
+    seeds = [int(s) for s in os.environ.get("PARITY_SEEDS", "0,1,2,3").split(",")]
+    os.makedirs(out, exist_ok=True)
+
+    data = os.path.join(out, f"data_{mode}")
+    if not os.path.isdir(data):
+        from swnerf_tpu.data.synthetic import write_blender_scene
+
+        size = int(os.environ.get("PARITY_SIZE", "64"))
+        write_blender_scene(
+            data, n_train=20, n_val=2, n_test=3, size=size, dynamic=(mode == "dnerf")
+        )
+        print("scene written:", data)
+
+    cfg, _ = pv.build_config(mode, out, data, iters)
+    scene_args = ap.Namespace(
+        dataset_type="blender" if mode == "nerf" else "blender_dnerf",
+        datadir=data, half_res=False, testskip=1, white_bkgd=True,
+        render_test=False,
+    )
+    results = {}
+    for seed in seeds:
+        exp = f"our_{mode}_s{seed}"
+        cfgp = os.path.join(out, f"{exp}.txt")
+        pv.write_config(cfgp, cfg, exp, os.path.join(out, "logs_our"))
+        try:
+            t = pv.run_ours(mode, cfgp, iters, seed=seed)
+            tar = os.path.join(out, "logs_our", exp, f"{iters:06d}.tar")
+            psnr, frames = pv.eval_ckpt(mode, tar, scene_args, f"ours-tpu s{seed}")
+            results[seed] = {"psnr": psnr, "frames": frames, "train_s": t}
+        except Exception:
+            traceback.print_exc()
+            results[seed] = None
+        with open(os.path.join(out, f"seed_spread_{mode}_{iters}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    vals = [r["psnr"] for r in results.values() if r]
+    if vals:
+        print(f"SEED SPREAD ({len(vals)} runs, {iters} iters): "
+              f"mean {np.mean(vals):.3f} dB  min {np.min(vals):.3f}  "
+              f"max {np.max(vals):.3f}  std {np.std(vals):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,42 @@ def build_embed_consts(num_freqs: int, dims: int = 3):
     return E0, S, PHASE, MASK
 
 
+def build_embed_consts_xt(num_freqs_pos: int, num_freqs_time: int):
+    """Combined-constant variant of build_embed_consts for time-conditioned
+    fields: x8 carries [x, y, z, t] in lanes 0-3 and ONE matmul+sin produces
+    [embed(xyz) | embed(t)] — the packed T-NeRF input layout
+    (t_nerf/run_tnerf.py:33-41 embeds pos and time separately then
+    concatenates)."""
+    dpos = 3 + 6 * num_freqs_pos
+    dtime = 1 + 2 * num_freqs_time
+    assert dpos + dtime <= 128
+    E0 = np.zeros((8, 128), np.float32)
+    S = np.zeros((8, 128), np.float32)
+    PHASE = np.zeros((1, 128), np.float32)
+    MASK = np.zeros((1, 128), np.float32)
+    for a in range(3):
+        E0[a, a] = 1.0
+    for i in range(num_freqs_pos):
+        f = float(2.0**i)
+        base = 3 + 6 * i
+        for a in range(3):
+            S[a, base + a] = f
+            S[a, base + 3 + a] = f
+            PHASE[0, base + 3 + a] = np.pi / 2.0
+            MASK[0, base + a] = 1.0
+            MASK[0, base + 3 + a] = 1.0
+    E0[3, dpos] = 1.0
+    for i in range(num_freqs_time):
+        f = float(2.0**i)
+        base = dpos + 1 + 2 * i
+        S[3, base] = f
+        S[3, base + 1] = f
+        PHASE[0, base + 1] = np.pi / 2.0
+        MASK[0, base] = 1.0
+        MASK[0, base + 1] = 1.0
+    return E0, S, PHASE, MASK
+
+
 def _embed_fwd(x8, e0, s, phase, mask):
     """x8 [B, 8] f32 -> emb [B, 128] f32."""
     ident = jnp.dot(x8, e0, preferred_element_type=jnp.float32)
@@ -834,14 +870,16 @@ def supports_tnerf(cfg) -> bool:
     model.py:152-210 as wired by t_nerf/run_tnerf.py:242-305): 128-aligned
     net_dim, packed (pos+time) input within one lane block, and a single
     skip (forward skips fire at i % skip_layer == 0, 0 < i < depth, so
-    depth <= 2*skip_layer keeps exactly one)."""
+    depth <= 2*skip_layer keeps exactly one; depth >= skip_layer+2 keeps it
+    off the last layer — skip_layer == depth-1 would widen the heads' input
+    and crash the reference too)."""
     in0 = cfg.in_feat + cfg.time_feat
     return (
         cfg.net_dim % 128 == 0
         and in0 <= 128
         and cfg.dir_feat <= 128
         and cfg.netdepth >= 2
-        and cfg.skip_layer < cfg.netdepth <= 2 * cfg.skip_layer
+        and cfg.skip_layer + 2 <= cfg.netdepth <= 2 * cfg.skip_layer
     )
 
 

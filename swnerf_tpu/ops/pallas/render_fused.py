@@ -51,6 +51,7 @@ from swnerf_tpu.ops.pallas.raymarch import (
     _round_up,
     _tmm,
     build_embed_consts,
+    build_embed_consts_xt,
     pack_params,
 )
 
@@ -110,19 +111,19 @@ def _segment_matrix(B: int, S: int, R: int, cols: int, col_off):
 # ---------------------------------------------------------------------------
 
 
-def _layer_fwd(emb, h_prev, ws_i, i: int, skip: int):
-    """Recompute layer i's post-relu activation from its input(s)."""
+def _layer_fwd(emb, h_prev, ws_i, i: int, skip: int, act: str):
+    """Recompute layer i's post-activation output from its input(s)."""
     if i == skip + 1:
         w_top, w_bot, b = ws_i
         z = _mm(emb, w_top) + _mm(h_prev, w_bot) + b
     else:
         w, b = ws_i
         z = _mm(emb if i == 0 else h_prev, w) + b
-    return _act_fwd(z, "relu").astype(emb.dtype)
+    return _act_fwd(z, act).astype(emb.dtype)
 
 
 def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
-                    remat: bool = True):
+                    remat: bool = True, act: str = "relu"):
     """Like raymarch._trunk_forward but returns the VMEM-resident caches the
     reverse sweep needs. VMEM economy (the fine pass tiles R rays x 192
     samples; a full activation cache can blow the ~16 MB budget): with
@@ -143,7 +144,7 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
             w, b = nxt(), nxt()
             z = _mm(emb if i == 0 else h, w) + b
             ws.append((w, b))
-        h = _act_fwd(z, "relu").astype(cdt)
+        h = _act_fwd(z, act).astype(cdt)
         if (not remat) or i % 2 == 1 or i == D - 1:
             hs[i] = h
 
@@ -153,7 +154,7 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
     feat = fa[:, :W].astype(cdt)
 
     w_vf, w_vv, b_v = nxt(), nxt(), nxt()
-    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, "relu").astype(cdt)
+    hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + b_v, act).astype(cdt)
     w_rgb, b_rgb = nxt(), nxt()
     rgb_logits = _mm(hv, w_rgb) + b_rgb  # [B, 128]; lanes 0-2 live
 
@@ -164,7 +165,8 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
     return rgb_logits, alpha_raw, cache
 
 
-def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
+def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
+                   act: str = "relu"):
     """Reverse sweep on the (checkpointed) forward cache. ``g`` [B, 128]
     carries the raw cotangent: lanes 0-2 d rgb_logits, lane 3 d sigma.
     Returns the grads list in pack_params order (no input grads — positions
@@ -176,7 +178,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
     def h_at(i):
         if i in stored:
             return stored[i]
-        return _layer_fwd(emb, stored[i - 1] if i else None, ws[i], i, skip)
+        return _layer_fwd(emb, stored[i - 1] if i else None, ws[i], i, skip, act)
 
     if "feat" in cache:
         feat, hv = cache["feat"], cache["hv"]
@@ -185,14 +187,14 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
         # cheaper in VMEM than caching two [B, W] arrays across the composite.
         fa = _mm(stored[D - 1], fa_w) + cache["fa_b"]
         feat = fa[:, :W].astype(cdt)
-        hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + cache["b_v"], "relu").astype(cdt)
+        hv = _act_fwd(_mm(feat, w_vf) + _mm(vemb, w_vv) + cache["b_v"], act).astype(cdt)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g_rgb32 = jnp.where(lane < 3, g, 0.0)
     g_rgb = g_rgb32.astype(cdt)
     dalpha = jnp.where(lane == 3, g, 0.0)
 
-    dhv = _mmt(g_rgb, w_rgb) * _act_grad(hv, "relu")
+    dhv = _mmt(g_rgb, w_rgb) * _act_grad(hv, act)
     dW_rgb = _tmm(hv, g_rgb)
     db_rgb = jnp.sum(g_rgb32, axis=0, keepdims=True)
     dhv_c = dhv.astype(cdt)
@@ -216,7 +218,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
         # Walking downward, layer i's input is layer i-1's output — compute
         # it once here and carry it as the next iteration's h_i.
         h_prev = h_at(i - 1) if i > 0 else None
-        dz = (dh * _act_grad(h_i, "relu")).astype(cdt)
+        dz = (dh * _act_grad(h_i, act)).astype(cdt)
         db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
         if i == skip + 1:
             w_top, w_bot, _ = ws[i]
@@ -245,7 +247,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int):
 def _render_loss_kernel(
     emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
-    rev: int, encode: bool, remat: bool,
+    rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
 ):
     """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
     perray_out [R, 128], weights_out [B, 128(lane 0)].
@@ -287,7 +289,8 @@ def _render_loss_kernel(
     vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
     nxt = _ref_iter(wrefs)
-    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W, remat=remat)
+    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W,
+                                                   remat=remat, act=act)
 
     aux = aux_ref[:]
     dist = aux[:, 0:1]
@@ -311,6 +314,10 @@ def _render_loss_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb_logits.shape, 1)
     # Kept live into the backward (drgb, dldw) — compute dtype is enough;
     # mixed f32/cdt arithmetic below promotes to f32.
+    if rgb_relu:
+        # T-NeRF's in-model ReLU color head (model.py:183-186) feeds the
+        # compositor's sigmoid; the mask is recoverable as rgb > 0.5.
+        rgb_logits = jnp.maximum(rgb_logits, 0.0)
     rgb = jax.nn.sigmoid(rgb_logits).astype(cdt)
     vals = jnp.where(
         lane < 3, w * rgb, jnp.where(lane == 3, w, jnp.where(lane == 4, w * z, 0.0))
@@ -362,8 +369,10 @@ def _render_loss_kernel(
     )
     dldw = jnp.sum(dldw_terms, axis=1, keepdims=True)  # [B,1]
 
-    # d rgb_logits (lanes 0-2): w * g_rgb * sigmoid'
+    # d rgb_logits (lanes 0-2): w * g_rgb * sigmoid' (* relu' for T-NeRF)
     drgb = jnp.where(lane < 3, w * g_row * rgb * (1.0 - rgb), 0.0)
+    if rgb_relu:
+        drgb = drgb * (rgb.astype(jnp.float32) > 0.5).astype(jnp.float32)
 
     # d alpha: dldw*T - suffix_{c>b}(dldw_c w_c) / safe_b
     suff = _seg_suffix_sum_excl(dldw * w, S)
@@ -372,7 +381,7 @@ def _render_loss_kernel(
 
     g_raw = drgb + jnp.where(lane == 3, dsigma, 0.0)
 
-    grads = _trunk_reverse(emb, vemb, g_raw, cache, D, skip, W)
+    grads = _trunk_reverse(emb, vemb, g_raw, cache, D, skip, W, act=act)
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
 
@@ -410,6 +419,8 @@ def fused_render_pass(
     compute_dtype=jnp.bfloat16,
     pts: jnp.ndarray = None,
     remat: bool = True,
+    times: jnp.ndarray = None,
+    arch: str = "vanilla",
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -448,9 +459,19 @@ def fused_render_pass(
         assert pts_emb is None and cfg.nf_pts >= 0
         x = pad_rays(pts).reshape(P, 3)
         emb_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(x)
-        consts = tuple(
-            jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3)
-        )
+        if times is not None:
+            # T-NeRF: per-ray frame time rides lane 3; the combined
+            # constants emit [embed(xyz) | embed(t)] in one matmul+sin.
+            t = jnp.broadcast_to(times.reshape(-1, 1), (times.shape[0], S))
+            emb_p = emb_p.at[:, 3].set(pad_rays(t).reshape(P))
+            consts = tuple(
+                jnp.asarray(c)
+                for c in build_embed_consts_xt(cfg.nf_pts, cfg.nf_time)
+            )
+        else:
+            consts = tuple(
+                jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3)
+            )
     else:
         emb = pad_rays(pts_emb).reshape(P, -1)
         emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
@@ -471,15 +492,22 @@ def fused_render_pass(
         .at[:N, 3].set(1.0)
     )
 
-    flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    if arch == "tnerf":
+        from swnerf_tpu.ops.pallas.raymarch import pack_tnerf_params
+
+        flat, meta = pack_tnerf_params(params, cfg, dtype=compute_dtype)
+    else:
+        flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     outs = _render_pass_call(
         tuple(flat), consts, emb_p, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
+        meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
     )
     perray, wout = outs[-2], outs[-1]
     dflat = outs[:-2]
-    grads = unpack_grads(list(dflat), params, cfg)
+    unpack = unpack_tnerf_grads if arch == "tnerf" else unpack_grads
+    grads = unpack(list(dflat), params, cfg)
     res = {
         "rgb": perray[:N, :3],
         "acc": perray[:N, 3],
@@ -490,9 +518,11 @@ def fused_render_pass(
     return res, grads
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.jit,
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
-                      S, R, white_bkgd, loss_scale, interpret, remat=True):
+                      S, R, white_bkgd, loss_scale, interpret, remat=True,
+                      act="relu", rgb_relu=False):
     encode = len(consts) > 0
     P = emb_p.shape[0]
     B = R * S
@@ -516,7 +546,7 @@ def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
-            encode=encode, remat=remat,
+            encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),
@@ -566,4 +596,42 @@ def unpack_grads(dflat, params, cfg):
     w_rgb = next(it)[:, :3]
     b_rgb = next(it)[0][:3]
     g["rgb_linear"] = {"w": w_rgb.astype(jnp.float32), "b": b_rgb}
+    return g
+
+
+def unpack_tnerf_grads(dflat, params, cfg):
+    """Invert pack_tnerf_params for the gradients (zero-padded regions have
+    zero cotangent, so plain slicing is exact). Layout mirrors
+    raymarch.pack_tnerf_params."""
+    W = cfg.net_dim
+    W2 = W // 2
+    in0 = cfg.in_feat + cfg.time_feat
+    skip = cfg.skip_layer
+    it = iter(dflat)
+    g = {"layers": []}
+    for i, _lyr in enumerate(params["layers"]):
+        if i == skip + 1:
+            w_top = next(it)[:in0]
+            w_bot = next(it)
+            gw = jnp.concatenate([w_top, w_bot], 0)
+        elif i == 0:
+            gw = next(it)[:in0]
+        else:
+            gw = next(it)
+        gb = next(it)[0]
+        g["layers"].append({"w": gw.astype(jnp.float32), "b": gb})
+    fd_w = next(it)
+    fd_b = next(it)[0]
+    g["feature"] = {"w": fd_w[:, :W].astype(jnp.float32), "b": fd_b[:W]}
+    g["density"] = {"w": fd_w[:, W : W + 1].astype(jnp.float32), "b": fd_b[W : W + 1]}
+    vw_f = next(it)
+    vw_v = next(it)
+    b9 = next(it)[0]
+    g["layer_9"] = {
+        "w": jnp.concatenate([vw_f[:, :W2], vw_v[: cfg.dir_feat, :W2]], 0).astype(jnp.float32),
+        "b": b9[:W2],
+    }
+    cw = next(it)
+    cb = next(it)[0]
+    g["color"] = {"w": cw[:W2, :3].astype(jnp.float32), "b": cb[:3]}
     return g

@@ -319,6 +319,32 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
+def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+    """Wrap a ``(state, rays, target, rng)`` step with the dnerf-family CLI
+    signature (images, poses, times, img_i, pixels, neighbor_time, rng);
+    the per-ray frame time rides ``rays.times``. Used to swap the fused
+    T-NeRF step into run_tnerf in place of make_dnerf_step."""
+    K, H, W = scene.K, scene.H, scene.W
+
+    def step(state, images, poses, times, img_i, pixels, neighbor_time, rng):
+        del neighbor_time  # no TV loss on this path
+        c2w = poses[img_i][:3, :4]
+        rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
+        target = images[img_i][pixels[:, 0], pixels[:, 1]]
+        t = jnp.full((pixels.shape[0], 1), times[img_i], jnp.float32)
+        rays = build_rays(
+            rays_o, rays_d, scene.near, scene.far,
+            use_viewdirs=cfg.use_viewdirs, ndc=False, times=t,
+        )
+        return train_step(state, rays, target, rng)
+
+    if mesh is not None:
+        from swnerf_tpu.parallel import shard_cli_step
+
+        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,))
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def steps_per_dispatch(default_tpu: int = 20) -> int:
     """How many train steps to fuse into one dispatch (lax.scan).
 

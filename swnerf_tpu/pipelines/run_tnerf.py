@@ -75,7 +75,7 @@ def create_tnerf(args):
             ckpt["optimizer_state_dict"], params, [("tnerf", "coarse")], state.opt_state
         )
         state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
-    return field, rcfg, optimizer, state, start
+    return field, rcfg, optimizer, state, start, mcfg
 
 
 def save_tnerf_ckpt(args, state: TrainState, i: int):
@@ -107,7 +107,7 @@ def train(argv=None):
     os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
     snapshot_args(args.basedir, args.expname, args, args.config)
 
-    field, rcfg, optimizer, state, start = create_tnerf(args)
+    field, rcfg, optimizer, state, start, mcfg = create_tnerf(args)
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
@@ -130,9 +130,42 @@ def train(argv=None):
         scene, args.N_rand, args.precrop_iters, args.precrop_frac,
         precrop_iters_time=args.precrop_iters_time,
     )
-    step_fn = make_dnerf_step(
-        field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0, mesh=mesh
+    # Fused single-kernel T-NeRF step on TPU (train/fused_step.py):
+    # ELU trunk + in-kernel [embed(xyz)|embed(t)] encoding + compositing +
+    # MSE + backward in one Pallas pass. Same gating as run_nerf.
+    from swnerf_tpu.pipelines.common import make_time_image_step
+    from swnerf_tpu.train.fused_step import (
+        make_fused_tnerf_step,
+        supports_fused_tnerf_step,
     )
+
+    interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
+    use_fused_step = supports_fused_tnerf_step(mcfg, rcfg) and (
+        interp
+        or (
+            jax.devices()[0].platform == "tpu"
+            and os.environ.get("SWNERF_FUSED", "1") != "0"
+            and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+            and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+        )
+    )
+    if use_fused_step:
+        inner = make_fused_tnerf_step(
+            mcfg, rcfg, optimizer,
+            interpret=interp,
+            compute_dtype=jnp.float32 if interp else jnp.bfloat16,
+            axis_name=None if mesh is None else "rays",
+        )
+        if mesh is not None:
+            from swnerf_tpu.parallel.mesh import shard_map_train_step
+
+            inner = shard_map_train_step(inner, mesh)
+        step_fn = make_time_image_step(inner, rcfg, scene, mesh=mesh)
+        print("Using the fused T-NeRF train step")
+    else:
+        step_fn = make_dnerf_step(
+            field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0, mesh=mesh
+        )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)

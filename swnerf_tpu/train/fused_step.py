@@ -40,6 +40,79 @@ def supports_fused_step(cfg, fcfg, rcfg: RenderConfig) -> bool:
     return ok
 
 
+def supports_fused_tnerf_step(cfg, rcfg: RenderConfig) -> bool:
+    """The fused T-NeRF step: single time-conditioned pass (the runner
+    forces n_importance=0, reference run_tnerf.py:329), fourier embeds."""
+    from swnerf_tpu.ops.pallas.raymarch import supports_tnerf
+
+    return (
+        supports_tnerf(cfg)
+        and cfg.i_embed == 0
+        and rcfg.n_importance == 0
+        and cfg.in_feat + cfg.time_feat + 0 <= 128
+    )
+
+
+def make_fused_tnerf_step(
+    cfg,
+    rcfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    rays_per_tile: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    axis_name: Optional[str] = None,
+):
+    """Single-pass fused T-NeRF train step ``(state, rays, target, rng) ->
+    (state, metrics)``: one render-loss kernel (ELU trunk, in-kernel
+    [embed(xyz)|embed(t)] encoding, ReLU color head) + Adam. RNG schedule
+    and loss match ``make_dnerf_step`` with a T-NeRF field exactly
+    (fold_in(step) then the render_rays 4-way split; reference loss
+    run_tnerf.py:675-690). ``axis_name`` as in make_fused_train_step."""
+    import os
+
+    if rays_per_tile is None:
+        rays_per_tile = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
+
+    def train_step(state: TrainState, rays: Rays, target, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
+        k_jit, k_noise0, _k_pdf, _k_noise1 = jax.random.split(step_rng, 4)
+        n = rays.origins.shape[0]
+        scale = 1.0 / (3.0 * n)
+
+        z_vals = sample_along_rays(
+            k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb, rcfg.lindisp
+        )
+        vd_emb = positional_encoding(rays.viewdirs, cfg.nf_views)
+        pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z_vals[..., None]
+        if rcfg.raw_noise_std > 0.0:
+            noise = jax.random.normal(k_noise0, z_vals.shape) * rcfg.raw_noise_std
+        else:
+            noise = jnp.zeros(z_vals.shape)
+
+        outs, grads_c = fused_render_pass(
+            state.params["coarse"], cfg, None, vd_emb, z_vals,
+            _dists_scaled(z_vals, rays.directions), noise, target,
+            rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile,
+            interpret=interpret, compute_dtype=compute_dtype,
+            pts=pts, remat=remat, times=rays.times, arch="tnerf",
+        )
+        mse0 = jnp.sum(outs["sqerr"]) * scale
+        if axis_name is not None:
+            mse0 = jax.lax.pmean(mse0, axis_name)
+        grads = {"coarse": grads_c, "fine": None}
+        if axis_name is not None:
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), grads)
+        metrics = {"loss": mse0, "psnr": mse_to_psnr(mse0), "total_loss": mse0}
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
 def _dists_scaled(z_vals: jnp.ndarray, rays_d: jnp.ndarray) -> jnp.ndarray:
     """deltas * |d| with the reference's trailing 1e10 (ray.py:163-167)."""
     d = z_vals[..., 1:] - z_vals[..., :-1]

@@ -122,3 +122,29 @@ class TestTNeRFPipeline:
         # resume
         monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
         train(_dyn_args(dyn_dataset, logs))
+
+    def test_fused_step_sharded_cli(self, tmp_path, dyn_dataset, monkeypatch):
+        """run_tnerf's fused single-kernel train step under the 8-device
+        mesh (force-interpret routes the Pallas kernel through interpret
+        mode; shard_map executes it per ray-shard). Smallest supported
+        shape: net_dim is pinned to 128 / skip_layer 4 by create_tnerf, so
+        netdepth must be in [6, 8]."""
+        from swnerf_tpu.pipelines.run_tnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        args = [a for a in _dyn_args(dyn_dataset, logs)]
+        args[args.index("--netdepth") + 1] = "6"
+        args[args.index("--netwidth") + 1] = "128"
+        train(args)
+        import json
+
+        recs = [
+            json.loads(l)
+            for l in (logs / "dyn" / "metrics.jsonl").read_text().strip().splitlines()
+        ]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+        assert (logs / "dyn" / "000008.tar").exists()
