@@ -245,20 +245,34 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
 
 
 def _render_loss_kernel(
-    emb_ref, vemb_ref, aux_ref, tgt_ref, *refs,
+    *args,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
     rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
+    from_rays: bool = False,
 ):
-    """One tile = R whole rays x S samples. refs = weights..., grad-accums...,
-    perray_out [R, 128], weights_out [B, 128(lane 0)].
+    """One tile = R whole rays x S samples. Leading refs are either
+    (emb, vemb, aux, tgt) or, with ``from_rays``, (o8, d8, vemb, aux, tgt);
+    then weights..., grad-accums..., perray_out [R, 128],
+    weights_out [B, 128(lane 0)].
 
     vemb_ref is PER-RAY [R, 128] (viewdirs are constant along a ray) and is
     broadcast to rows in-kernel via the segment matmul — feeding the
     broadcast [B, 128] from HBM would cost S x the bandwidth and VMEM.
+    With ``from_rays`` the positions themselves never touch HBM either:
+    o8/d8 are PER-RAY [R, 8] (origin xyz + frame-time lane 3 / direction
+    xyz) and pts = o + d*z is computed in-kernel from the aux z lane —
+    the [B, 8] raw-points stream and its XLA producer disappear.
     aux lanes: 0 = dist*|d| (last = 1e10), 1 = density noise, 2 = z.
     tgt lanes 0-2: per-ray target rgb.
     perray_out lanes: 0-2 rgb_map (white-composited), 3 acc, 4 depth,
     5 sqerr."""
+    if from_rays:
+        o8_ref, d8_ref, vemb_ref, aux_ref, tgt_ref = args[:5]
+        refs = args[5:]
+        emb_ref = None
+    else:
+        emb_ref, vemb_ref, aux_ref, tgt_ref = args[:4]
+        refs = args[4:]
     n_c = 4 if encode else 0  # fourier-encoder consts (E0, S, PHASE, MASK)
     crefs, refs = refs[:n_c], refs[n_c:]
     n_w = (len(refs) - 2) // 2
@@ -272,7 +286,25 @@ def _render_loss_kernel(
         for r in grefs:
             r[:] = jnp.zeros_like(r)
 
-    if encode:
+    aux = aux_ref[:]
+    dist = aux[:, 0:1]
+    noise = aux[:, 1:2]
+    z = aux[:, 2:3]
+    B = aux.shape[0]
+    R = B // S
+    RP = R * rev  # per-ray block rows (>= 8); rev > 1 => revisited block
+    col_off = R * (pl.program_id(0) % rev) if rev > 1 else 0
+    seg = _segment_matrix(B, S, R, RP, col_off)
+
+    if from_rays:
+        # pts = o + d*z, f32, bit-identical to the XLA producer it replaces
+        # (seg broadcast is an exact 0/1 matmul; lane 3 carries t, d8 lane
+        # 3 is 0 so t is z-invariant).
+        x8 = _mm(seg, o8_ref[:]) + _mm(seg, d8_ref[:]) * z
+        emb = _embed_fwd(
+            x8, crefs[0][:], crefs[1][:], crefs[2][:], crefs[3][:]
+        ).astype(cdt)
+    elif encode:
         # Positions arrive raw [B, 8] (xyz in lanes 0-2); the fourier
         # encoding runs in-kernel (matmul + phase-shifted sin) — feeding
         # pre-embedded [B, 128] rows from HBM costs 16x the bandwidth.
@@ -281,21 +313,11 @@ def _render_loss_kernel(
         ).astype(cdt)
     else:
         emb = emb_ref[:].astype(cdt)
-    B = emb.shape[0]
-    R = B // S
-    RP = R * rev  # per-ray block rows (>= 8); rev > 1 => revisited block
-    col_off = R * (pl.program_id(0) % rev) if rev > 1 else 0
-    seg = _segment_matrix(B, S, R, RP, col_off)
     vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
     nxt = _ref_iter(wrefs)
     rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W,
                                                    remat=remat, act=act)
-
-    aux = aux_ref[:]
-    dist = aux[:, 0:1]
-    noise = aux[:, 1:2]
-    z = aux[:, 2:3]
 
     # ---- composite forward (raw2outputs, ray.py:155-198) ----
     sigma = sigma_raw + noise
@@ -421,6 +443,8 @@ def fused_render_pass(
     remat: bool = True,
     times: jnp.ndarray = None,
     arch: str = "vanilla",
+    origins: jnp.ndarray = None,
+    directions: jnp.ndarray = None,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -455,28 +479,44 @@ def fused_render_pass(
     vemb = pad_rays(views_emb)
     P = Np * S
 
-    if pts is not None:
+    def embed_consts():
+        if times is not None:
+            # Time-conditioned field: per-ray frame time rides lane 3; the
+            # combined constants emit [embed(xyz) | embed(t)] in one
+            # matmul+sin.
+            return tuple(
+                jnp.asarray(c)
+                for c in build_embed_consts_xt(cfg.nf_pts, cfg.nf_time)
+            )
+        return tuple(jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3))
+
+    from_rays = origins is not None
+    if from_rays:
+        # Preferred TPU path: only PER-RAY [Np, 8] origin/direction blocks
+        # enter the kernel; pts = o + d*z is computed in-kernel from the
+        # aux z lane (the [P, 8] raw-points stream never exists).
+        assert pts is None and pts_emb is None and cfg.nf_pts >= 0
+        o8 = jnp.zeros((Np, 8), jnp.float32).at[:, :3].set(pad_rays(origins))
+        d8 = jnp.zeros((Np, 8), jnp.float32).at[:, :3].set(pad_rays(directions))
+        if times is not None:
+            o8 = o8.at[:, 3].set(pad_rays(times.reshape(-1, 1))[:, 0])
+        emb_in = (o8, d8)
+        consts = embed_consts()
+    elif pts is not None:
         assert pts_emb is None and cfg.nf_pts >= 0
         x = pad_rays(pts).reshape(P, 3)
         emb_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(x)
         if times is not None:
-            # T-NeRF: per-ray frame time rides lane 3; the combined
-            # constants emit [embed(xyz) | embed(t)] in one matmul+sin.
             t = jnp.broadcast_to(times.reshape(-1, 1), (times.shape[0], S))
             emb_p = emb_p.at[:, 3].set(pad_rays(t).reshape(P))
-            consts = tuple(
-                jnp.asarray(c)
-                for c in build_embed_consts_xt(cfg.nf_pts, cfg.nf_time)
-            )
-        else:
-            consts = tuple(
-                jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3)
-            )
+        emb_in = (emb_p,)
+        consts = embed_consts()
     else:
         emb = pad_rays(pts_emb).reshape(P, -1)
         emb_p = jnp.zeros((P, 128), compute_dtype).at[:, : emb.shape[-1]].set(
             emb.astype(compute_dtype)
         )
+        emb_in = (emb_p,)
         consts = ()
     vemb_p = jnp.zeros((Np, 128), jnp.float32).at[:, : vemb.shape[-1]].set(
         vemb.astype(jnp.float32)
@@ -499,10 +539,11 @@ def fused_render_pass(
     else:
         flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     outs = _render_pass_call(
-        tuple(flat), consts, emb_p, vemb_p, aux_p, tgt_p,
+        tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
+        from_rays,
     )
     perray, wout = outs[-2], outs[-1]
     dflat = outs[:-2]
@@ -519,12 +560,12 @@ def fused_render_pass(
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
-def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
                       S, R, white_bkgd, loss_scale, interpret, remat=True,
-                      act="relu", rgb_relu=False):
+                      act="relu", rgb_relu=False, from_rays=False):
     encode = len(consts) > 0
-    P = emb_p.shape[0]
+    P = aux_p.shape[0]
     B = R * S
     Np = P // S
     n_tiles = P // B
@@ -535,6 +576,9 @@ def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
     ray_spec = pl.BlockSpec(
         (max(R, 8), 128), lambda i: (i // rev, 0), memory_space=pltpu.VMEM
     )
+    ray8_spec = pl.BlockSpec(
+        (max(R, 8), 8), lambda i: (i // rev, 0), memory_space=pltpu.VMEM
+    )
     out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
     out_specs = _const_specs(list(flat))
     out_shapes.append(jax.ShapeDtypeStruct((Np, 128), jnp.float32))  # perray
@@ -542,16 +586,22 @@ def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
     out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # weights
     out_specs.append(_rows_spec(B, 8))
 
+    if from_rays:
+        emb_specs = [ray8_spec, ray8_spec]  # per-ray o8 / d8
+    else:
+        emb_specs = [_rows_spec(B, 8 if encode else 128)]  # raw pts or rows
+
     outs = pl.pallas_call(
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
             encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
+            from_rays=from_rays,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),
-        in_specs=[
-            _rows_spec(B, 8 if encode else 128),  # raw pts or embedded rows
+        in_specs=emb_specs
+        + [
             ray_spec,  # per-ray viewdir embedding
             _rows_spec(B, 8),
             ray_spec,
@@ -560,7 +610,7 @@ def _render_pass_call(flat, consts, emb_p, vemb_p, aux_p, tgt_p, D, skip, W,
         + _const_specs(list(flat)),
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(emb_p, vemb_p, aux_p, tgt_p, *consts, *flat)
+    )(*emb_in, vemb_p, aux_p, tgt_p, *consts, *flat)
     return outs
 
 

@@ -53,7 +53,9 @@ def evaluate_dirs(pred_dir: str, gt_dir: str):
                 "mse": mse,
                 "psnr": psnr(g, p, data_range=1.0),
                 "ssim": ssim(g, p, data_range=1.0, win_size=7, channel_axis=2),
-                "lpips": lpips(g, p),
+                # The d_nerf notebook's metric is LPIPS-vgg
+                # (d_nerf/metrics.ipynb cell 4), unlike run.py's alex.
+                "lpips": lpips(g, p, net="vgg"),
             }
         )
     return per_frame
@@ -76,14 +78,14 @@ def main(argv=None):
         for k in keys
     }
     payload = {"frames": frames, "mean": means}
-    if not lpips_available():
+    if not lpips_available("vgg"):
         payload["lpips_note"] = LPIPS_UNAVAILABLE_NOTE
     with open(os.path.join(out, "metrics.json"), "w") as f:
         json.dump(payload, f, indent=4)
     with open(os.path.join(out, "metrics.txt"), "w") as f:
         for k in keys:
             f.write(f"{k}: {means[k]}\n")
-        if not lpips_available():
+        if not lpips_available("vgg"):
             f.write(f"note: {LPIPS_UNAVAILABLE_NOTE}\n")
     print("mean:", means)
 

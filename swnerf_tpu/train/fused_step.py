@@ -86,7 +86,6 @@ def make_fused_tnerf_step(
             k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb, rcfg.lindisp
         )
         vd_emb = positional_encoding(rays.viewdirs, cfg.nf_views)
-        pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z_vals[..., None]
         if rcfg.raw_noise_std > 0.0:
             noise = jax.random.normal(k_noise0, z_vals.shape) * rcfg.raw_noise_std
         else:
@@ -97,7 +96,8 @@ def make_fused_tnerf_step(
             _dists_scaled(z_vals, rays.directions), noise, target,
             rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile,
             interpret=interpret, compute_dtype=compute_dtype,
-            pts=pts, remat=remat, times=rays.times, arch="tnerf",
+            origins=rays.origins, directions=rays.directions,
+            remat=remat, times=rays.times, arch="tnerf",
         )
         mse0 = jnp.sum(outs["sqerr"]) * scale
         if axis_name is not None:
@@ -176,16 +176,13 @@ def make_fused_train_step(
                 return jax.random.normal(key, shape) * rcfg.raw_noise_std
             return jnp.zeros(shape)
 
-        def pass_pts(z):
-            return rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
-
         outs_c, grads_c = fused_render_pass(
             state.params["coarse"], cfg, None, vd_emb, z_vals,
             _dists_scaled(z_vals, rays.directions),
             noise_for(k_noise0, z_vals.shape), target,
             rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_coarse,
             interpret=interpret, compute_dtype=compute_dtype,
-            pts=pass_pts(z_vals), remat=remat,
+            origins=rays.origins, directions=rays.directions, remat=remat,
         )
         mse0 = jnp.sum(outs_c["sqerr"]) * scale
 
@@ -208,7 +205,7 @@ def make_fused_train_step(
                 noise_for(k_noise1, z_all.shape), target,
                 rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile_fine,
                 interpret=interpret, compute_dtype=compute_dtype,
-                pts=pass_pts(z_all), remat=remat,
+                origins=rays.origins, directions=rays.directions, remat=remat,
             )
             mse1 = jnp.sum(outs_f["sqerr"]) * scale
             if axis_name is not None:

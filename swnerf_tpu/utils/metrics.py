@@ -112,31 +112,41 @@ _LPIPS_MODEL = None
 # need network egress; this environment has neither).
 LPIPS_UNAVAILABLE_NOTE = (
     "lpips unavailable: the optional 'lpips' package (pretrained AlexNet/VGG "
-    "weights) is not installed in this environment; install it to populate "
-    "this column (reference nerf/run.py:49-61 uses LPIPS(alex))."
+    "weights) is not installed in this environment; install it, or point "
+    "SWNERF_LPIPS_DIR at torchvision backbone + lpips linear-head state "
+    "dicts for the native JAX implementation (utils/lpips_jax.py), to "
+    "populate this column (reference nerf/run.py:49-61 uses LPIPS(alex))."
 )
 
 
-def lpips_available() -> bool:
+def lpips_available(net: str = "alex") -> bool:
     try:
         import lpips as _  # noqa: F401
         import torch as _t  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        from swnerf_tpu.utils import lpips_jax
+
+        return lpips_jax.from_env(net) is not None
 
 
 def lpips(gt: np.ndarray, pred: np.ndarray, net: str = "alex") -> Optional[float]:
-    """LPIPS(net) if the optional ``lpips`` package is importable, else None
-    (recorded as null in metrics.json — the reference hard-depends on it,
-    nerf/run.py:11,54)."""
+    """LPIPS(net) via the optional ``lpips`` package, else the native JAX
+    implementation with SWNERF_LPIPS_DIR-provided weights
+    (utils/lpips_jax.py), else None (recorded as null in metrics.json —
+    the reference hard-depends on the package, nerf/run.py:11,54)."""
     global _LPIPS_MODEL
     try:
         import lpips as lpips_pkg
         import torch
     except ImportError:
-        return None
+        from swnerf_tpu.utils import lpips_jax
+
+        model = lpips_jax.from_env(net)
+        if model is None:
+            return None
+        return model(np.asarray(gt), np.clip(np.asarray(pred), 0, 1))
     if _LPIPS_MODEL is None:
         _LPIPS_MODEL = lpips_pkg.LPIPS(net=net)
     with torch.no_grad():
