@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from swnerf_tpu.ops.pallas.raymarch import (
     _act_fwd,
     _act_grad,
+    _embed_bwd,
     _embed_fwd,
     _mm,
     _mmt,
@@ -166,11 +167,13 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
 
 
 def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
-                   act: str = "relu"):
+                   act: str = "relu", input_grads: bool = False):
     """Reverse sweep on the (checkpointed) forward cache. ``g`` [B, 128]
     carries the raw cotangent: lanes 0-2 d rgb_logits, lane 3 d sigma.
-    Returns the grads list in pack_params order (no input grads — positions
-    are detached on this path)."""
+    Returns (grads list in pack_params order, demb [B, 128] f32 or None) —
+    ``input_grads`` accumulates d loss / d emb from layer 0 and the skip
+    layer's emb rows (the D-NeRF canonical pass chains it through the
+    encode into the deformation MLP; plain passes detach positions)."""
     cdt = emb.dtype
     stored, ws = cache["hs"], cache["ws"]
     fa_w, w_vf, w_vv, w_rgb = cache["fa_w"], cache["w_vf"], cache["w_vv"], cache["w_rgb"]
@@ -213,6 +216,7 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
     db_fa = jnp.sum(dfa.astype(jnp.float32), axis=0, keepdims=True)
 
     trunk_grads = []
+    demb = None
     h_i = stored[D - 1]
     for i in range(D - 1, -1, -1):
         # Walking downward, layer i's input is layer i-1's output — compute
@@ -224,19 +228,24 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
             w_top, w_bot, _ = ws[i]
             trunk_grads.append((_tmm(emb, dz), _tmm(h_prev, dz), db))
             dh = _mmt(dz, w_bot)
+            if input_grads:
+                demb = _mmt(dz, w_top)
         else:
             w = ws[i][0]
             x = emb if i == 0 else h_prev
             trunk_grads.append((_tmm(x, dz), db))
             if i != 0:
                 dh = _mmt(dz, w)
+            elif input_grads:
+                d0 = _mmt(dz, w)
+                demb = d0 if demb is None else demb + d0
         h_i = h_prev
 
     grads = []
     for i in range(D):
         grads.extend(trunk_grads[D - 1 - i])
     grads += [dW_fa, db_fa, dW_vf, dW_vv, db_v, dW_rgb, db_rgb]
-    return grads
+    return grads, demb
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +257,7 @@ def _render_loss_kernel(
     *args,
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
     rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
-    from_rays: bool = False,
+    from_rays: bool = False, input_grads: bool = False,
 ):
     """One tile = R whole rays x S samples. Leading refs are either
     (emb, vemb, aux, tgt) or, with ``from_rays``, (o8, d8, vemb, aux, tgt);
@@ -275,10 +284,12 @@ def _render_loss_kernel(
         refs = args[4:]
     n_c = 4 if encode else 0  # fourier-encoder consts (E0, S, PHASE, MASK)
     crefs, refs = refs[:n_c], refs[n_c:]
-    n_w = (len(refs) - 2) // 2
+    n_out = 3 if input_grads else 2
+    n_w = (len(refs) - n_out) // 2
     wrefs = refs[:n_w]
-    grefs = refs[n_w:-2]
-    perray_ref, wout_ref = refs[-2], refs[-1]
+    grefs = refs[n_w:-n_out]
+    perray_ref, wout_ref = refs[n_w * 2], refs[n_w * 2 + 1]
+    dxout_ref = refs[n_w * 2 + 2] if input_grads else None
     cdt = wrefs[0].dtype
 
     @pl.when(pl.program_id(0) == 0)
@@ -308,10 +319,12 @@ def _render_loss_kernel(
         # Positions arrive raw [B, 8] (xyz in lanes 0-2); the fourier
         # encoding runs in-kernel (matmul + phase-shifted sin) — feeding
         # pre-embedded [B, 128] rows from HBM costs 16x the bandwidth.
+        x8 = emb_ref[:]
         emb = _embed_fwd(
-            emb_ref[:], crefs[0][:], crefs[1][:], crefs[2][:], crefs[3][:]
+            x8, crefs[0][:], crefs[1][:], crefs[2][:], crefs[3][:]
         ).astype(cdt)
     else:
+        assert not input_grads, "input grads need the in-kernel encode"
         emb = emb_ref[:].astype(cdt)
     vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
@@ -403,9 +416,19 @@ def _render_loss_kernel(
 
     g_raw = drgb + jnp.where(lane == 3, dsigma, 0.0)
 
-    grads = _trunk_reverse(emb, vemb, g_raw, cache, D, skip, W, act=act)
+    grads, demb = _trunk_reverse(emb, vemb, g_raw, cache, D, skip, W, act=act,
+                                 input_grads=input_grads)
     for r, gval in zip(grefs, grads):
         r[:] += gval.astype(r.dtype)
+
+    if input_grads:
+        # Chain the emb cotangent through the in-kernel fourier encode:
+        # d loss / d x8 (lanes 0-2 position, lane 3 time). Padded rays have
+        # zero loss cotangent, so their rows are exactly zero.
+        dxout_ref[:] = _embed_bwd(
+            x8, demb.astype(jnp.float32),
+            crefs[0][:], crefs[1][:], crefs[2][:], crefs[3][:]
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -445,6 +468,7 @@ def fused_render_pass(
     arch: str = "vanilla",
     origins: jnp.ndarray = None,
     directions: jnp.ndarray = None,
+    need_input_grads: bool = False,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -538,15 +562,18 @@ def fused_render_pass(
         flat, meta = pack_tnerf_params(params, cfg, dtype=compute_dtype)
     else:
         flat, meta = pack_params(params, cfg, dtype=compute_dtype)
+    if need_input_grads:
+        assert len(consts) > 0, "input grads need the in-kernel encode"
     outs = _render_pass_call(
         tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
-        from_rays,
+        from_rays, bool(need_input_grads),
     )
-    perray, wout = outs[-2], outs[-1]
-    dflat = outs[:-2]
+    n_out = 3 if need_input_grads else 2
+    perray, wout = outs[len(outs) - n_out], outs[len(outs) - n_out + 1]
+    dflat = outs[: len(outs) - n_out]
     unpack = unpack_tnerf_grads if arch == "tnerf" else unpack_grads
     grads = unpack(list(dflat), params, cfg)
     res = {
@@ -556,14 +583,19 @@ def fused_render_pass(
         "sqerr": perray[:N, 5],
         "weights": wout[:, 0].reshape(Np, S)[:N],
     }
+    if need_input_grads:
+        # d loss / d x8 per sample: lanes 0-2 position, lane 3 time.
+        res["dx8"] = outs[-1].reshape(Np, S, 8)[:N]
     return res, grads
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                   18))
 def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
                       S, R, white_bkgd, loss_scale, interpret, remat=True,
-                      act="relu", rgb_relu=False, from_rays=False):
+                      act="relu", rgb_relu=False, from_rays=False,
+                      input_grads=False):
     encode = len(consts) > 0
     P = aux_p.shape[0]
     B = R * S
@@ -585,6 +617,9 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
     out_specs.append(ray_spec)
     out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # weights
     out_specs.append(_rows_spec(B, 8))
+    if input_grads:
+        out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # dx8
+        out_specs.append(_rows_spec(B, 8))
 
     if from_rays:
         emb_specs = [ray8_spec, ray8_spec]  # per-ray o8 / d8
@@ -596,7 +631,7 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
             encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
-            from_rays=from_rays,
+            from_rays=from_rays, input_grads=input_grads,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),

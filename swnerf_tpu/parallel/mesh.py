@@ -110,10 +110,11 @@ def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnum
     )
 
 
-def shard_map_train_step(train_step, mesh: Mesh):
-    """Wrap a ``(state, rays, target, rng) -> (state, metrics)`` step with
-    ``shard_map`` over the ``rays`` axis: state/rng replicated, batch
-    sharded on its leading axis, outputs replicated.
+def shard_map_train_step(train_step, mesh: Mesh, n_extra_rep: int = 0):
+    """Wrap a ``(state, rays, target, *extras, rng) -> (state, metrics)``
+    step with ``shard_map`` over the ``rays`` axis: state/rng (and the
+    ``n_extra_rep`` scalar args before rng, e.g. the D-NeRF neighbor time)
+    replicated, batch sharded on its leading axis, outputs replicated.
 
     This is the mesh path for steps containing Pallas kernels (the fused
     render-loss step, train/fused_step.py): GSPMD cannot partition a Mosaic
@@ -126,7 +127,7 @@ def shard_map_train_step(train_step, mesh: Mesh):
     return jax.shard_map(
         train_step,
         mesh=mesh,
-        in_specs=(rep, shd, shd, rep),
+        in_specs=(rep, shd, shd) + (rep,) * (1 + n_extra_rep),
         out_specs=(rep, rep),
         check_vma=False,
     )

@@ -319,15 +319,17 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
-def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
-    """Wrap a ``(state, rays, target, rng)`` step with the dnerf-family CLI
-    signature (images, poses, times, img_i, pixels, neighbor_time, rng);
-    the per-ray frame time rides ``rays.times``. Used to swap the fused
-    T-NeRF step into run_tnerf in place of make_dnerf_step."""
+def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
+                         pass_neighbor: bool = False):
+    """Wrap a ``(state, rays, target[, neighbor_time], rng)`` step with the
+    dnerf-family CLI signature (images, poses, times, img_i, pixels,
+    neighbor_time, rng); the per-ray frame time rides ``rays.times``.
+    Used to swap the fused T-NeRF/D-NeRF steps into run_tnerf/run_dnerf in
+    place of make_dnerf_step (``pass_neighbor`` forwards the TV-loss
+    neighbor time)."""
     K, H, W = scene.K, scene.H, scene.W
 
     def step(state, images, poses, times, img_i, pixels, neighbor_time, rng):
-        del neighbor_time  # no TV loss on this path
         c2w = poses[img_i][:3, :4]
         rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
         target = images[img_i][pixels[:, 0], pixels[:, 1]]
@@ -336,6 +338,8 @@ def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None)
             rays_o, rays_d, scene.near, scene.far,
             use_viewdirs=cfg.use_viewdirs, ndc=False, times=t,
         )
+        if pass_neighbor:
+            return train_step(state, rays, target, neighbor_time, rng)
         return train_step(state, rays, target, rng)
 
     if mesh is not None:

@@ -128,7 +128,7 @@ def create_dnerf(args):
         opt_state, _ = torch_dict_to_adam(ckpt["optimizer_state_dict"], params, groups, state.opt_state)
         state = TrainState(jnp.asarray(start, jnp.int32), params, opt_state)
 
-    return field, ffield, kind, rcfg, optimizer, state, start
+    return field, ffield, kind, rcfg, optimizer, state, start, (mcfg, fcfg if args.use_two_models_for_fine else None)
 
 
 def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
@@ -212,18 +212,21 @@ def make_dnerf_step(
 
 def make_dnerf_scan_step(
     field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float,
-    fine_field=None, mesh=None,
+    fine_field=None, mesh=None, inner_raw=None,
 ):
     """K D-NeRF steps per dispatch: consumes img_i [K], pixels [K, N, 2],
     neighbor_time [K]; returns the final state and the LAST step's metrics.
     Scan semantics are bit-identical to the per-step loop (the per-step RNG
-    is fold_in(rng, state.step))."""
-    inner = make_dnerf_step(
-        field, cfg, optimizer, scene, add_tv_loss, tv_loss_weight,
-        fine_field=fine_field, mesh=None,
-    )
-    # Unwrap the jit: scan over the raw python step for one fused program.
-    raw = inner.__wrapped__
+    is fold_in(rng, state.step)). ``inner_raw`` swaps in an alternative
+    unjitted CLI-signature step (the fused D-NeRF step)."""
+    if inner_raw is None:
+        inner = make_dnerf_step(
+            field, cfg, optimizer, scene, add_tv_loss, tv_loss_weight,
+            fine_field=fine_field, mesh=None,
+        )
+        # Unwrap the jit: scan over the raw python step for one program.
+        inner_raw = inner.__wrapped__
+    raw = inner_raw
 
     def step_k(state, images, poses, times, img_i_k, pixels_k, neighbor_k, rng):
         def body(st, x):
@@ -276,7 +279,7 @@ def train(argv=None):
     os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
     snapshot_args(args.basedir, args.expname, args, args.config)
 
-    field, fine_field, kind, rcfg, optimizer, state, start = create_dnerf(args)
+    field, fine_field, kind, rcfg, optimizer, state, start, (mcfg, fcfg) = create_dnerf(args)
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
@@ -312,15 +315,62 @@ def train(argv=None):
     from swnerf_tpu.pipelines.common import chunk_until_event, steps_per_dispatch
 
     k_disp = steps_per_dispatch()
-    step_fn = make_dnerf_step(
-        field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
-        fine_field=fine_field, mesh=mesh,
+
+    # Fused D-NeRF step on TPU (train/fused_step.py): one Pallas render-loss
+    # kernel per canonical pass (in-kernel input grads chained through the
+    # encode into the fused deformation MLP), composed under jax.grad with
+    # the TV loss. Same gating as run_nerf/run_tnerf.
+    from swnerf_tpu.pipelines.common import make_time_image_step
+    from swnerf_tpu.train.fused_step import (
+        make_fused_dnerf_step,
+        supports_fused_dnerf_step,
     )
-    if k_disp > 1:
-        scan_fn = make_dnerf_scan_step(
+
+    interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
+    use_fused_step = (
+        args.nerf_type == "direct_temporal"
+        and supports_fused_dnerf_step(mcfg, fcfg, rcfg)
+        and (
+            interp
+            or (
+                jax.devices()[0].platform == "tpu"
+                and os.environ.get("SWNERF_FUSED", "1") != "0"
+                and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+                and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+            )
+        )
+    )
+    if use_fused_step:
+        inner = make_fused_dnerf_step(
+            mcfg, rcfg, optimizer, fcfg=fcfg,
+            add_tv_loss=args.add_tv_loss, tv_loss_weight=args.tv_loss_weight,
+            interpret=interp,
+            compute_dtype=jnp.float32 if interp else jnp.bfloat16,
+            axis_name=None if mesh is None else "rays",
+        )
+        if mesh is not None:
+            from swnerf_tpu.parallel.mesh import shard_map_train_step
+
+            inner = shard_map_train_step(inner, mesh, n_extra_rep=1)
+        step_fn = make_time_image_step(inner, rcfg, scene, mesh=mesh,
+                                       pass_neighbor=True)
+        print("Using the fused D-NeRF train step")
+        if k_disp > 1:
+            scan_fn = make_dnerf_scan_step(
+                field, rcfg, optimizer, scene, args.add_tv_loss,
+                args.tv_loss_weight, fine_field=fine_field, mesh=mesh,
+                inner_raw=step_fn.__wrapped__,
+            )
+    else:
+        step_fn = make_dnerf_step(
             field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
             fine_field=fine_field, mesh=mesh,
         )
+        if k_disp > 1:
+            scan_fn = make_dnerf_scan_step(
+                field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
+                fine_field=fine_field, mesh=mesh,
+            )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)

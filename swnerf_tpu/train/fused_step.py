@@ -244,3 +244,247 @@ def make_fused_train_step(
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# D-NeRF: fused canonical passes composed under jax.grad
+# ---------------------------------------------------------------------------
+
+
+def supports_fused_dnerf_step(cfg, fcfg, rcfg: RenderConfig) -> bool:
+    """The fused D-NeRF step: DirectTemporalNeRF (canonical trunk in the
+    vanilla shape family + supported deformation MLP), fourier embeds."""
+    from swnerf_tpu.ops.pallas.raymarch import supports_config, supports_time_net
+
+    def one(c):
+        return supports_config(c) and supports_time_net(c) and c.i_embed == 0
+
+    ok = one(cfg)
+    if fcfg is not None:
+        ok = ok and one(fcfg) and (
+            (fcfg.multires, fcfg.multires_views, fcfg.multires_time)
+            == (cfg.multires, cfg.multires_views, cfg.multires_time)
+        )
+    return ok
+
+
+def make_fused_dnerf_step(
+    cfg,
+    rcfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    fcfg=None,
+    add_tv_loss: bool = False,
+    tv_loss_weight: float = 0.0,
+    rays_per_tile_coarse: Optional[int] = None,
+    rays_per_tile_fine: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    axis_name: Optional[str] = None,
+):
+    """Fused D-NeRF train step ``(state, rays, target, neighbor_time, rng)
+    -> (state, metrics)``.
+
+    Each canonical render pass is ONE Pallas kernel (in-kernel encode of the
+    deformed positions, trunk, composite, MSE, backward INCLUDING
+    d loss / d positions chained back through the fourier encode) wrapped in
+    a ``jax.custom_vjp``; ``jax.grad`` then composes the whole loss — the
+    deformation MLP (its own fused kernel), the zero_canonical mask, the
+    ``pts + dx`` warp, the hierarchical resample and the TV term — exactly
+    as the autodiff path does (reference run_dnerf.py:354-480, 690-727).
+    The TV neighbor render evaluates only the deformation net: the
+    reference's neighbor render computes a full canonical pass whose output
+    is discarded (run_dnerf.py:702-725) — dropping it is mathematically
+    identical and saves a kernel.
+
+    ``axis_name``: as in make_fused_train_step. MSE terms are per-shard
+    means (grads pmean-reduce exactly); the TV term is a global SUM
+    (reference semantics), so its local piece is pre-scaled by the axis
+    size, which makes the single pmean over combined grads exact for both.
+    """
+    import os
+
+    from swnerf_tpu.models.dnerf import apply_time_net
+    from swnerf_tpu.ops.embedding import embedding_dim
+    from swnerf_tpu.ops.pallas.raymarch import fused_time_net
+
+    if rays_per_tile_coarse is None:
+        rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    if rays_per_tile_fine is None:
+        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+    remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
+    fine_cfg = fcfg if fcfg is not None else cfg
+
+    def make_pass(ccfg, tile):
+        """Canonical render pass as a differentiable (params, pts2) ->
+        (loss, aux) function; the kernel computes both grads in-pass."""
+
+        def run(params_canon, pts2, vd_emb, z, dists, noise, target):
+            n = z.shape[0]
+            scale = 1.0 / (3.0 * n)
+            res, grads = fused_render_pass(
+                params_canon, ccfg, None, vd_emb, z, dists, noise, target,
+                rcfg.white_bkgd, scale, rays_per_tile=tile,
+                interpret=interpret, compute_dtype=compute_dtype,
+                pts=pts2, remat=remat, need_input_grads=True,
+            )
+            loss = jnp.sum(res["sqerr"]) * scale
+            aux = {k: res[k] for k in ("rgb", "acc", "depth", "weights")}
+            return loss, aux, grads, res["dx8"][..., :3]
+
+        @jax.custom_vjp
+        def pass_loss(params_canon, pts2, vd_emb, z, dists, noise, target):
+            loss, aux, _, _ = run(params_canon, pts2, vd_emb, z, dists, noise, target)
+            return loss, aux
+
+        def fwd(params_canon, pts2, vd_emb, z, dists, noise, target):
+            loss, aux, grads, dpts = run(
+                params_canon, pts2, vd_emb, z, dists, noise, target
+            )
+            return (loss, aux), (grads, dpts)
+
+        def bwd(resid, ct):
+            # aux outputs are consumed only behind stop_gradient (weights ->
+            # sample_pdf) or for metrics, so only the loss cotangent acts.
+            grads, dpts = resid
+            ctl = ct[0]
+            n, s, _ = dpts.shape
+            dv = embedding_dim(ccfg.nf_views, 3)
+            z_ns = jnp.zeros((n, s))
+            return (
+                jax.tree.map(lambda g: g * ctl, grads),
+                dpts * ctl,
+                jnp.zeros((n, dv)),
+                z_ns,
+                z_ns,
+                z_ns,
+                jnp.zeros((n, 3)),
+            )
+
+        pass_loss.defvjp(fwd, bwd)
+        return pass_loss
+
+    pass_coarse = make_pass(cfg, rays_per_tile_coarse)
+    pass_fine = (
+        make_pass(fine_cfg, rays_per_tile_fine) if rcfg.n_importance > 0 else None
+    )
+
+    def dx_at(tp, ccfg, pts, tval):
+        """Deformation dx at pts for per-ray time tval [N, 1] (differentiable
+        in tp; positions/time enter detached as in the field)."""
+        tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(tb, ccfg.nf_time)
+        if interpret:
+            dx = apply_time_net(tp, ccfg, pe, te)
+        else:
+            dx = fused_time_net(
+                tp, ccfg,
+                jax.lax.stop_gradient(pe), jax.lax.stop_gradient(te),
+                compute_dtype=compute_dtype, need_input_grads=False,
+            )
+        if ccfg.zero_canonical:
+            dx = jnp.where(tb == 0.0, jnp.zeros_like(dx), dx)
+        return dx
+
+    def train_step(state: TrainState, rays: Rays, target, neighbor_time, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
+        k_jit, k_noise0, k_pdf, k_noise1 = jax.random.split(step_rng, 4)
+        n = rays.origins.shape[0]
+        nshards = (
+            jax.lax.psum(jnp.ones(()), axis_name) if axis_name is not None else 1.0
+        )
+
+        z_vals = sample_along_rays(
+            k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb, rcfg.lindisp
+        )
+        vd_emb = positional_encoding(rays.viewdirs, cfg.nf_views)
+        t_col = rays.times
+
+        def noise_for(key, shape):
+            if rcfg.raw_noise_std > 0.0:
+                return jax.random.normal(key, shape) * rcfg.raw_noise_std
+            return jnp.zeros(shape)
+
+        def pts_of(z):
+            return rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
+
+        pts_c = pts_of(z_vals)
+
+        def loss_fn(params):
+            pc = params["coarse"]
+            shared = params.get("fine") is None
+            pf = pc if shared else params["fine"]
+            f_ccfg = cfg if shared else fine_cfg
+
+            dx_c = dx_at(pc["time_net"], cfg, pts_c, t_col)
+            mse0, aux_c = pass_coarse(
+                pc["canonical"], pts_c + dx_c, vd_emb, z_vals,
+                _dists_scaled(z_vals, rays.directions),
+                noise_for(k_noise0, z_vals.shape), target,
+            )
+            # Shared-model fine (reference default, run_dnerf.py:445-448):
+            # the coarse pass only guides importance sampling under
+            # stop_gradient and contributes no loss term — mse0 is simply
+            # never added, so its cotangent (and the coarse pass's in-kernel
+            # grads) are zeroed by the custom_vjp. Two-model mode
+            # (coarse_contributes) trains the coarse net via mse0.
+            coarse_in_loss = rcfg.n_importance == 0 or rcfg.coarse_contributes
+            if rcfg.n_importance > 0:
+                weights = jax.lax.stop_gradient(aux_c["weights"])
+                z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                z_samples = sample_pdf(
+                    z_mid, weights[..., 1:-1], rcfg.n_importance,
+                    rng=k_pdf, det=(rcfg.perturb == 0.0),
+                )
+                z_all = merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))
+                pts_f = pts_of(z_all)
+                dx_f = dx_at(pf["time_net"], f_ccfg, pts_f, t_col)
+                mse1, _aux_f = pass_fine(
+                    pf["canonical"], pts_f + dx_f, vd_emb, z_all,
+                    _dists_scaled(z_all, rays.directions),
+                    noise_for(k_noise1, z_all.shape), target,
+                )
+                img_loss = mse1
+                img_loss0 = mse0 if coarse_in_loss else None
+                dx_used, pts_used, tnet_used, ccfg_used = dx_f, pts_f, pf["time_net"], f_ccfg
+            else:
+                img_loss, img_loss0 = mse0, None
+                dx_used, pts_used, tnet_used, ccfg_used = dx_c, pts_c, pc["time_net"], cfg
+
+            # Reference loss composition order (run_dnerf.py:688-731):
+            # img_loss (+ tv) (+ img_loss0). Under sharding: the MSE terms
+            # are per-shard means (grads pmean-reduce to the global-batch
+            # mean exactly); the TV term is a global SUM (reference
+            # semantics), so its local piece is pre-scaled by the axis size
+            # — pmean(mse_k + K*tv_k) = mean(mse) + sum(tv), exact for
+            # both, with no collectives inside the grad.
+            loss = img_loss
+            metrics = {"loss": img_loss}
+            if add_tv_loss:
+                nt = jnp.full((n, 1), neighbor_time, jnp.float32)
+                dx_n = dx_at(tnet_used, ccfg_used, pts_used, nt)
+                tv = jnp.sum((dx_used - dx_n) ** 2) * tv_loss_weight
+                loss = loss + tv * nshards
+                metrics["tv"] = tv * nshards
+            if img_loss0 is not None:
+                loss = loss + img_loss0
+                metrics["loss0"] = img_loss0
+            metrics["total_loss"] = loss
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), grads)
+            # pmean makes every entry its exact global value: mse terms are
+            # equal-shard means; tv was pre-scaled by the axis size.
+            metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+        metrics["psnr"] = mse_to_psnr(metrics["loss"])
+        if "loss0" in metrics:
+            metrics["psnr0"] = mse_to_psnr(metrics.pop("loss0"))
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step

@@ -104,6 +104,32 @@ class TestDNeRFPipeline:
         assert vids
 
 
+class TestDNeRFFusedCLI:
+    def test_fused_step_sharded_cli(self, tmp_path, dyn_dataset, monkeypatch):
+        """run_dnerf's fused train step (custom-vjp canonical kernels + TV)
+        under the 8-device mesh via force-interpret. Smallest supported
+        shape: skips=(4,) pins netdepth >= 6, netwidth % 128 == 0."""
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        args = [a for a in _dyn_args(dyn_dataset, logs)]
+        args[args.index("--netdepth") + 1] = "6"
+        args[args.index("--netwidth") + 1] = "128"
+        train(args + ["--nerf_type", "direct_temporal", "--N_iter", "20",
+                      "--N_importance", "4", "--add_tv_loss",
+                      "--tv_loss_weight", "1e-4"])
+        recs = [
+            json.loads(l)
+            for l in (logs / "dyn" / "metrics.jsonl").read_text().strip().splitlines()
+        ]
+        losses = [r["total_loss"] for r in recs if "total_loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+        assert (logs / "dyn" / "000008.tar").exists()
+
+
 class TestTNeRFPipeline:
     def test_train_ckpt_resume(self, tmp_path, dyn_dataset, monkeypatch):
         from swnerf_tpu.pipelines.run_tnerf import train
