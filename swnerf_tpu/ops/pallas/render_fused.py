@@ -258,6 +258,7 @@ def _render_loss_kernel(
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
     rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
     from_rays: bool = False, input_grads: bool = False,
+    param_grads: bool = True,
 ):
     """One tile = R whole rays x S samples. Leading refs are either
     (emb, vemb, aux, tgt) or, with ``from_rays``, (o8, d8, vemb, aux, tgt);
@@ -285,11 +286,12 @@ def _render_loss_kernel(
     n_c = 4 if encode else 0  # fourier-encoder consts (E0, S, PHASE, MASK)
     crefs, refs = refs[:n_c], refs[n_c:]
     n_out = 3 if input_grads else 2
-    n_w = (len(refs) - n_out) // 2
+    n_w = (len(refs) - n_out) // 2 if param_grads else len(refs) - n_out
     wrefs = refs[:n_w]
-    grefs = refs[n_w:-n_out]
-    perray_ref, wout_ref = refs[n_w * 2], refs[n_w * 2 + 1]
-    dxout_ref = refs[n_w * 2 + 2] if input_grads else None
+    grefs = refs[n_w:-n_out] if param_grads else ()
+    base = n_w * 2 if param_grads else n_w
+    perray_ref, wout_ref = refs[base], refs[base + 1]
+    dxout_ref = refs[base + 2] if input_grads else None
     cdt = wrefs[0].dtype
 
     @pl.when(pl.program_id(0) == 0)
@@ -385,6 +387,12 @@ def _render_loss_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1) == 0, w, 0.0
     )
 
+    if not param_grads:
+        # Forward-only mode (e.g. the shared-model D-NeRF coarse pass whose
+        # loss term is never used, or eval rendering): skip the whole
+        # reverse sweep — the autodiff paths get this for free via DCE.
+        return
+
     # ---- loss + composite backward ----
     # d loss/d rgb_map = loss_scale * 2 * err  (sqerr is channel-summed)
     g_perray = loss_scale * 2.0 * err  # [R, 128] lanes 0-2
@@ -469,6 +477,7 @@ def fused_render_pass(
     origins: jnp.ndarray = None,
     directions: jnp.ndarray = None,
     need_input_grads: bool = False,
+    need_param_grads: bool = True,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -564,18 +573,22 @@ def fused_render_pass(
         flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     if need_input_grads:
         assert len(consts) > 0, "input grads need the in-kernel encode"
+        assert need_param_grads, "input grads ride the reverse sweep"
     outs = _render_pass_call(
         tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
-        from_rays, bool(need_input_grads),
+        from_rays, bool(need_input_grads), bool(need_param_grads),
     )
     n_out = 3 if need_input_grads else 2
     perray, wout = outs[len(outs) - n_out], outs[len(outs) - n_out + 1]
     dflat = outs[: len(outs) - n_out]
-    unpack = unpack_tnerf_grads if arch == "tnerf" else unpack_grads
-    grads = unpack(list(dflat), params, cfg)
+    if need_param_grads:
+        unpack = unpack_tnerf_grads if arch == "tnerf" else unpack_grads
+        grads = unpack(list(dflat), params, cfg)
+    else:
+        grads = None
     res = {
         "rgb": perray[:N, :3],
         "acc": perray[:N, 3],
@@ -591,11 +604,11 @@ def fused_render_pass(
 
 @functools.partial(jax.jit,
                    static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
-                                   18))
+                                   18, 19))
 def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
                       S, R, white_bkgd, loss_scale, interpret, remat=True,
                       act="relu", rgb_relu=False, from_rays=False,
-                      input_grads=False):
+                      input_grads=False, param_grads=True):
     encode = len(consts) > 0
     P = aux_p.shape[0]
     B = R * S
@@ -611,8 +624,11 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
     ray8_spec = pl.BlockSpec(
         (max(R, 8), 8), lambda i: (i // rev, 0), memory_space=pltpu.VMEM
     )
-    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
-    out_specs = _const_specs(list(flat))
+    if param_grads:
+        out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
+        out_specs = _const_specs(list(flat))
+    else:
+        out_shapes, out_specs = [], []
     out_shapes.append(jax.ShapeDtypeStruct((Np, 128), jnp.float32))  # perray
     out_specs.append(ray_spec)
     out_shapes.append(jax.ShapeDtypeStruct((P, 8), jnp.float32))  # weights
@@ -632,6 +648,7 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
             encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
             from_rays=from_rays, input_grads=input_grads,
+            param_grads=param_grads,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),

@@ -310,13 +310,20 @@ def make_fused_dnerf_step(
     if rays_per_tile_coarse is None:
         rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
     if rays_per_tile_fine is None:
-        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+        # The input-grads fine pass carries the demb sweep + dx8 stream on
+        # top of the vanilla kernel; S=192 at R=4 measured 1.2M over the
+        # v5e 16M VMEM budget, R=2 fits.
+        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE_DNERF", "2"))
     remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
     fine_cfg = fcfg if fcfg is not None else cfg
 
-    def make_pass(ccfg, tile):
+    def make_pass(ccfg, tile, grads_on: bool = True):
         """Canonical render pass as a differentiable (params, pts2) ->
-        (loss, aux) function; the kernel computes both grads in-pass."""
+        (loss, aux) function; the kernel computes both param and position
+        grads in-pass. ``grads_on=False`` runs the kernel forward-only (the
+        shared-model coarse pass contributes no loss term, so its grads are
+        identically zero — skipping the reverse sweep mirrors the DCE the
+        autodiff path gets)."""
 
         def run(params_canon, pts2, vd_emb, z, dists, noise, target):
             n = z.shape[0]
@@ -325,11 +332,12 @@ def make_fused_dnerf_step(
                 params_canon, ccfg, None, vd_emb, z, dists, noise, target,
                 rcfg.white_bkgd, scale, rays_per_tile=tile,
                 interpret=interpret, compute_dtype=compute_dtype,
-                pts=pts2, remat=remat, need_input_grads=True,
+                pts=pts2, remat=remat, need_input_grads=grads_on,
+                need_param_grads=grads_on,
             )
             loss = jnp.sum(res["sqerr"]) * scale
             aux = {k: res[k] for k in ("rgb", "acc", "depth", "weights")}
-            return loss, aux, grads, res["dx8"][..., :3]
+            return loss, aux, grads, res["dx8"][..., :3] if grads_on else None
 
         @jax.custom_vjp
         def pass_loss(params_canon, pts2, vd_emb, z, dists, noise, target):
@@ -340,13 +348,16 @@ def make_fused_dnerf_step(
             loss, aux, grads, dpts = run(
                 params_canon, pts2, vd_emb, z, dists, noise, target
             )
+            if not grads_on:
+                # Zero-cotangent pass: keep only shapes for the bwd zeros.
+                return (loss, aux), (params_canon, jnp.zeros(z.shape + (3,)))
             return (loss, aux), (grads, dpts)
 
         def bwd(resid, ct):
             # aux outputs are consumed only behind stop_gradient (weights ->
             # sample_pdf) or for metrics, so only the loss cotangent acts.
             grads, dpts = resid
-            ctl = ct[0]
+            ctl = ct[0] if grads_on else 0.0
             n, s, _ = dpts.shape
             dv = embedding_dim(ccfg.nf_views, 3)
             z_ns = jnp.zeros((n, s))
@@ -363,9 +374,14 @@ def make_fused_dnerf_step(
         pass_loss.defvjp(fwd, bwd)
         return pass_loss
 
-    pass_coarse = make_pass(cfg, rays_per_tile_coarse)
+    # Shared-model fine: the coarse pass contributes no loss term, so its
+    # position gradients are identically zero — don't ask the kernel for
+    # them (saves the demb sweep + the dx8 stream and its VMEM).
+    coarse_in_loss = rcfg.n_importance == 0 or rcfg.coarse_contributes
+    pass_coarse = make_pass(cfg, rays_per_tile_coarse, grads_on=coarse_in_loss)
     pass_fine = (
-        make_pass(fine_cfg, rays_per_tile_fine) if rcfg.n_importance > 0 else None
+        make_pass(fine_cfg, rays_per_tile_fine, grads_on=True)
+        if rcfg.n_importance > 0 else None
     )
 
     def dx_at(tp, ccfg, pts, tval):
@@ -385,6 +401,29 @@ def make_fused_dnerf_step(
         if ccfg.zero_canonical:
             dx = jnp.where(tb == 0.0, jnp.zeros_like(dx), dx)
         return dx
+
+    def dx_pair(tp, ccfg, pts, tval, tval_n):
+        """dx at two times for the SAME points in ONE deformation-net call
+        (2x batch: one kernel dispatch and one backward for both the main
+        and the TV-neighbor evaluation)."""
+        tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
+        tb_n = jnp.broadcast_to(tval_n[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(jnp.concatenate([tb, tb_n], 0), ccfg.nf_time)
+        pe2 = jnp.concatenate([pe, pe], 0)
+        if interpret:
+            dx2 = apply_time_net(tp, ccfg, pe2, te)
+        else:
+            dx2 = fused_time_net(
+                tp, ccfg,
+                jax.lax.stop_gradient(pe2), jax.lax.stop_gradient(te),
+                compute_dtype=compute_dtype, need_input_grads=False,
+            )
+        if ccfg.zero_canonical:
+            dx2 = jnp.where(jnp.concatenate([tb, tb_n], 0) == 0.0,
+                            jnp.zeros_like(dx2), dx2)
+        n = pts.shape[0]
+        return dx2[:n], dx2[n:]
 
     def train_step(state: TrainState, rays: Rays, target, neighbor_time, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -418,7 +457,19 @@ def make_fused_dnerf_step(
             pf = pc if shared else params["fine"]
             f_ccfg = cfg if shared else fine_cfg
 
-            dx_c = dx_at(pc["time_net"], cfg, pts_c, t_col)
+            nt_col = jnp.full((n, 1), neighbor_time, jnp.float32)
+            dx_n = None
+            if rcfg.n_importance == 0 and add_tv_loss:
+                # Coarse-only + TV: main and neighbor dx in one 2x-batch
+                # deformation-net call.
+                dx_c, dx_n = dx_pair(pc["time_net"], cfg, pts_c, t_col, nt_col)
+            else:
+                dx_c = dx_at(pc["time_net"], cfg, pts_c, t_col)
+            if not coarse_in_loss:
+                # Dead gradient chain (loss never uses the coarse term):
+                # detach so the deformation net's backward kernel is not
+                # even built for this pass.
+                dx_c = jax.lax.stop_gradient(dx_c)
             mse0, aux_c = pass_coarse(
                 pc["canonical"], pts_c + dx_c, vd_emb, z_vals,
                 _dists_scaled(z_vals, rays.directions),
@@ -427,10 +478,9 @@ def make_fused_dnerf_step(
             # Shared-model fine (reference default, run_dnerf.py:445-448):
             # the coarse pass only guides importance sampling under
             # stop_gradient and contributes no loss term — mse0 is simply
-            # never added, so its cotangent (and the coarse pass's in-kernel
-            # grads) are zeroed by the custom_vjp. Two-model mode
-            # (coarse_contributes) trains the coarse net via mse0.
-            coarse_in_loss = rcfg.n_importance == 0 or rcfg.coarse_contributes
+            # never added, its kernel runs forward-only, and dx_c is
+            # detached. Two-model mode (coarse_contributes) trains the
+            # coarse net via mse0.
             if rcfg.n_importance > 0:
                 weights = jax.lax.stop_gradient(aux_c["weights"])
                 z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
@@ -440,7 +490,10 @@ def make_fused_dnerf_step(
                 )
                 z_all = merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))
                 pts_f = pts_of(z_all)
-                dx_f = dx_at(pf["time_net"], f_ccfg, pts_f, t_col)
+                if add_tv_loss:
+                    dx_f, dx_n = dx_pair(pf["time_net"], f_ccfg, pts_f, t_col, nt_col)
+                else:
+                    dx_f = dx_at(pf["time_net"], f_ccfg, pts_f, t_col)
                 mse1, _aux_f = pass_fine(
                     pf["canonical"], pts_f + dx_f, vd_emb, z_all,
                     _dists_scaled(z_all, rays.directions),
@@ -448,10 +501,10 @@ def make_fused_dnerf_step(
                 )
                 img_loss = mse1
                 img_loss0 = mse0 if coarse_in_loss else None
-                dx_used, pts_used, tnet_used, ccfg_used = dx_f, pts_f, pf["time_net"], f_ccfg
+                dx_used = dx_f
             else:
                 img_loss, img_loss0 = mse0, None
-                dx_used, pts_used, tnet_used, ccfg_used = dx_c, pts_c, pc["time_net"], cfg
+                dx_used = dx_c
 
             # Reference loss composition order (run_dnerf.py:688-731):
             # img_loss (+ tv) (+ img_loss0). Under sharding: the MSE terms
@@ -463,8 +516,6 @@ def make_fused_dnerf_step(
             loss = img_loss
             metrics = {"loss": img_loss}
             if add_tv_loss:
-                nt = jnp.full((n, 1), neighbor_time, jnp.float32)
-                dx_n = dx_at(tnet_used, ccfg_used, pts_used, nt)
                 tv = jnp.sum((dx_used - dx_n) ** 2) * tv_loss_weight
                 loss = loss + tv * nshards
                 metrics["tv"] = tv * nshards
