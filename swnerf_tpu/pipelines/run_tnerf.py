@@ -167,6 +167,19 @@ def train(argv=None):
             field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0, mesh=mesh
         )
 
+    # K steps per dispatch (lax.scan over the same CLI-signature step):
+    # at ~650 it/s for the fused single-pass step the per-step dispatch
+    # through the remote tunnel would dominate the live loop.
+    from swnerf_tpu.pipelines.common import chunk_until_event, steps_per_dispatch
+    from swnerf_tpu.pipelines.run_dnerf import make_dnerf_scan_step
+
+    k_disp = steps_per_dispatch()
+    if k_disp > 1:
+        scan_fn = make_dnerf_scan_step(
+            field, rcfg, optimizer, scene, False, 0.0, mesh=mesh,
+            inner_raw=step_fn.__wrapped__,
+        )
+
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
     times_dev = jnp.asarray(scene.times)
@@ -189,14 +202,30 @@ def train(argv=None):
         logger.throughput(j, samples_per_step, jax.device_count())
         print(f"[TRAIN] Iter: {j} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
 
+    cadences = (args.i_weights, args.i_print, args.i_video, args.i_testset)
+
     print("Begin")
     pending = None
-    for i in range(start + 1, n_iters):
-        img_i, pixels = sampler.next(i)
-        state, metrics = step_fn(
-            state, images_dev, poses_dev, times_dev, img_i,
-            jnp.asarray(pixels), jnp.float32(0.0), base_rng,
-        )
+    metrics = {}
+    i = start + 1
+    while i < n_iters:
+        k = chunk_until_event(i, n_iters, k_disp, cadences) if k_disp > 1 else 1
+        if k == 1:
+            img_i, pixels = sampler.next(i)
+            state, metrics = step_fn(
+                state, images_dev, poses_dev, times_dev, img_i,
+                jnp.asarray(pixels), jnp.float32(0.0), base_rng,
+            )
+        else:
+            picks = [sampler.next(i + j) for j in range(k)]
+            img_i_k = np.asarray([p[0] for p in picks], np.int32)
+            pixels_k = np.stack([p[1] for p in picks])
+            neighbor_k = np.zeros((k,), np.float32)
+            state, metrics = scan_fn(
+                state, images_dev, poses_dev, times_dev, jnp.asarray(img_i_k),
+                jnp.asarray(pixels_k), jnp.asarray(neighbor_k), base_rng,
+            )
+        i = i + k - 1
 
         if i % args.i_weights == 0:
             save_tnerf_ckpt(args, state, i)
@@ -225,6 +254,8 @@ def train(argv=None):
                 mesh=mesh,
             )
             print("Saved test set")
+
+        i += 1
 
     flush_pending(pending)
     logger.close()

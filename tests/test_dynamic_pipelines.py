@@ -174,3 +174,26 @@ class TestTNeRFPipeline:
         losses = [r["loss"] for r in recs if "loss" in r]
         assert losses and all(np.isfinite(l) for l in losses)
         assert (logs / "dyn" / "000008.tar").exists()
+
+    def test_scan_dispatch_matches_per_step(self, tmp_path, dyn_dataset, monkeypatch):
+        """K T-NeRF steps per lax.scan dispatch must reproduce the per-step
+        loop exactly (fold_in(rng, step) keys are step-indexed)."""
+        import torch
+
+        from swnerf_tpu.pipelines.run_tnerf import train
+
+        def run(sub, k):
+            logs = tmp_path / sub
+            monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+            monkeypatch.setenv("SWNERF_STEPS_PER_DISPATCH", str(k))
+            train(_dyn_args(dyn_dataset, logs))
+            ckpt = torch.load(str(logs / "dyn" / "000008.tar"),
+                              map_location="cpu", weights_only=False)
+            return ckpt["network_fn_state_dict"]
+
+        sd_scan = run("scan", 4)
+        sd_step = run("step", 1)
+        for key in sd_step:
+            np.testing.assert_allclose(
+                sd_scan[key].numpy(), sd_step[key].numpy(), atol=1e-6, err_msg=key
+            )
