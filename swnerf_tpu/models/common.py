@@ -16,7 +16,7 @@ necessarily differ between torch and JAX PRNGs):
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +31,18 @@ class Field(NamedTuple):
     apply: ``(params, pts[N,S,3], viewdirs[N,3]|None, times[N,1]|None) ->
         (raw[N,S,C], aux dict)``. ``aux`` carries model extras such as the
         D-NeRF deformation ``dx``.
+    cfg: the model config the field was built from (lets kernels that need
+        architecture constants reach it; None for ad-hoc fields).
+    eval_pass: optional forward-only fused whole-pass renderer
+        ``(params, fine_params, fine_field, rays, ecfg) ->
+        (rgb, disp, acc, depth)`` — picked up by ``render_image`` on TPU
+        (render/fused_eval.py).
     """
 
     init: Callable[[jax.Array], Params]
     apply: Callable[..., Any]
+    cfg: Any = None
+    eval_pass: Optional[Callable[..., Any]] = None
 
 
 def torch_linear_init(rng: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32):

@@ -216,4 +216,17 @@ def make_vanilla_field(
             raw = apply_vanilla_trunk(params, cfg, pts_emb, views_emb)
         return raw, {}
 
-    return Field(init, apply)
+    from swnerf_tpu.ops.pallas.raymarch import supports_config
+
+    eval_pass = None
+    if cfg.i_embed == 0 and supports_config(cfg) and (
+        (use_fused and os.environ.get("SWNERF_FUSED_EVAL", "1") != "0")
+        or fused_interpret
+    ):
+        from swnerf_tpu.render.fused_eval import make_vanilla_eval_pass
+
+        eval_pass = make_vanilla_eval_pass(
+            cfg, interpret=fused_interpret,
+            compute_dtype=jnp.float32 if fused_interpret else jnp.bfloat16,
+        )
+    return Field(init, apply, cfg=cfg, eval_pass=eval_pass)

@@ -292,10 +292,20 @@ def _render_image_fn(
     if len(_RENDER_IMAGE_JITS) > 64:  # bound growth if fields are rebuilt per call
         _RENDER_IMAGE_JITS.clear()
 
+    # Forward-only fused whole-pass eval (render/fused_eval.py): one Pallas
+    # kernel per pass with the composite in-kernel. Single-device only —
+    # under a mesh the body must stay GSPMD-partitionable (no raw Mosaic
+    # custom calls inside the sharded lax.map).
+    use_eval_pass = (
+        field.eval_pass is not None and mesh is None and has_vd and not has_t
+    )
+
     def run(params, fine_params, xs):
         def body(tile_arrays):
             o, d, vd, nr, fr, tm = tile_arrays
             tile = Rays(o, d, vd if has_vd else None, nr, fr, tm if has_t else None)
+            if use_eval_pass:
+                return field.eval_pass(params, fine_params, fine_field, tile, cfg)
             out = render_rays(
                 field, params, tile, cfg, rng=None, fine_params=fine_params,
                 fine_field=fine_field,

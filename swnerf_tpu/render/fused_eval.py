@@ -1,0 +1,80 @@
+"""Forward-only fused eval rendering.
+
+One Pallas render kernel per pass computes encode + trunk + composite
+(rgb/acc/depth/weights in-kernel) with the reverse sweep skipped
+(ops/pallas/render_fused.py ``param_grads=False``) — on TPU this replaces
+the eval path's field-apply kernel + XLA composite per pass, removing the
+[B, 4] raw stream and the composite's HBM round trips. Semantics are the
+deterministic eval mode of ``render_rays`` (reference render_kwargs_test,
+run.py:302-304): perturb=0 midpoint-free linspace z, no noise, det
+``sample_pdf``; disp derives from depth/acc exactly as the compositor does
+(ray.py:192, including its 0/0 behavior).
+
+Attached to a Field as ``eval_pass`` (models/vanilla.py) and picked up by
+``render_image`` (render/core.py) when rendering single-device.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from swnerf_tpu.ops.embedding import positional_encoding
+from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
+
+
+def _dists_scaled(z_vals, rays_d):
+    d = z_vals[..., 1:] - z_vals[..., :-1]
+    d = jnp.concatenate([d, jnp.full_like(d[..., :1], 1e10)], -1)
+    return d * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+
+def make_vanilla_eval_pass(mcfg, interpret: bool = False,
+                           compute_dtype=jnp.bfloat16):
+    """(params, fine_params, fine_field, rays, ecfg) ->
+    (rgb, disp, acc, depth) via forward-only fused kernels (vanilla /
+    NeRFOriginal trunk family, from-rays in-kernel encode)."""
+    from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
+
+    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    rf = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+
+    def run(params, fine_params, fine_field, rays, ecfg):
+        n = rays.origins.shape[0]
+        vd_emb = positional_encoding(rays.viewdirs, mcfg.nf_views)
+        ztgt = jnp.zeros((n, 3))
+
+        def one(p, ccfg, z, tile):
+            res, _ = fused_render_pass(
+                p, ccfg, None, vd_emb, z,
+                _dists_scaled(z, rays.directions), jnp.zeros(z.shape), ztgt,
+                ecfg.white_bkgd, 0.0, rays_per_tile=tile,
+                interpret=interpret, compute_dtype=compute_dtype,
+                origins=rays.origins, directions=rays.directions,
+                need_param_grads=False,
+            )
+            return res
+
+        z_vals = sample_along_rays(
+            None, rays.near, rays.far, ecfg.n_samples, 0.0, ecfg.lindisp
+        )
+        res = one(params, mcfg, z_vals, rc)
+        if ecfg.n_importance > 0:
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(
+                z_mid, res["weights"][..., 1:-1], ecfg.n_importance,
+                rng=None, det=True,
+            )
+            z_all = merge_z_vals(z_vals, z_samples)
+            fcfg = mcfg
+            if fine_field is not None and getattr(fine_field, "cfg", None) is not None:
+                fcfg = fine_field.cfg
+            res = one(
+                fine_params if fine_params is not None else params,
+                fcfg, z_all, rf,
+            )
+        disp = 1.0 / jnp.maximum(1e-10, res["depth"] / res["acc"])
+        return res["rgb"], disp, res["acc"], res["depth"]
+
+    return run

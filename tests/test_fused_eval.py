@@ -1,0 +1,82 @@
+"""Forward-only fused eval rendering (render/fused_eval.py) vs the plain
+render_rays eval path: identical deterministic images (interpret mode,
+f32)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.render import RenderConfig
+from swnerf_tpu.render.core import Rays, render_image
+
+
+def _rays(n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 4.0
+    return Rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(d),
+                jnp.full((n,), 2.0), jnp.full((n,), 6.0), None)
+
+
+class TestFusedEval:
+    def _fields(self):
+        cfg = VanillaNeRFConfig(netdepth=3, netwidth=128, skips=(1,),
+                                multires=4, multires_views=2)
+        plain = make_vanilla_field(cfg, fused=False)
+        assert plain.eval_pass is None
+        fused = make_vanilla_field(cfg, fused=False, fused_interpret=True)
+        assert fused.eval_pass is not None
+        return cfg, plain, fused
+
+    def test_matches_plain_path_hierarchical(self):
+        cfg, plain, fused = self._fields()
+        rcfg = RenderConfig(n_samples=8, n_importance=8, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        fine = plain.init(jax.random.PRNGKey(1))
+        rays = _rays(100)  # chunk padding exercised (chunk=64)
+        a = render_image(plain, params, rays, rcfg, chunk=64, fine_params=fine)
+        b = render_image(fused, params, rays, rcfg, chunk=64, fine_params=fine)
+        for k in ("rgb", "disp", "acc", "depth"):
+            # rtol absorbs the kernel's segment-matmul reduction
+            # reassociation in depth/acc (disp is their ratio).
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, rtol=5e-4,
+                err_msg=k,
+            )
+
+    def test_matches_plain_path_coarse_only_black(self):
+        cfg, plain, fused = self._fields()
+        rcfg = RenderConfig(n_samples=8, n_importance=0, white_bkgd=False)
+        params = plain.init(jax.random.PRNGKey(0))
+        rays = _rays(64)
+        a = render_image(plain, params, rays, rcfg, chunk=64)
+        b = render_image(fused, params, rays, rcfg, chunk=64)
+        for k in ("rgb", "disp", "acc", "depth"):
+            # rtol absorbs the kernel's segment-matmul reduction
+            # reassociation in depth/acc (disp is their ratio).
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, rtol=5e-4,
+                err_msg=k,
+            )
+
+    def test_distinct_fine_field_dims(self):
+        """A fine field with different dims routes through its own cfg."""
+        cfg, plain, fused = self._fields()
+        fcfg = VanillaNeRFConfig(netdepth=4, netwidth=128, skips=(1,),
+                                 multires=4, multires_views=2)
+        fine_plain = make_vanilla_field(fcfg, fused=False)
+        rcfg = RenderConfig(n_samples=8, n_importance=8, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        fine = fine_plain.init(jax.random.PRNGKey(1))
+        rays = _rays(64)
+        a = render_image(plain, params, rays, rcfg, chunk=64, fine_params=fine,
+                         fine_field=fine_plain)
+        b = render_image(fused, params, rays, rcfg, chunk=64, fine_params=fine,
+                         fine_field=fine_plain)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
+        )
