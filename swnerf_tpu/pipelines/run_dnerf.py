@@ -28,13 +28,12 @@ import jax.numpy as jnp
 import optax
 
 from swnerf_tpu.models import DNeRFConfig, make_dnerf_field, make_nerf_original_field
-from swnerf_tpu.ops.rays import get_rays_at
 from swnerf_tpu.pipelines.common import (
     ImageSampler,
     load_scene,
     render_path,
 )
-from swnerf_tpu.render.core import RenderConfig, Rays, build_rays, render_rays
+from swnerf_tpu.render.core import RenderConfig, Rays, render_rays
 from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
 from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
@@ -156,8 +155,6 @@ def make_dnerf_step(
     neighbor_time, rng). The TV branch re-renders the same rays at
     ``neighbor_time`` with the first render's (stopped) z_vals and penalizes
     sum((dx - dx_neighbor)^2) * weight."""
-    K, H, W = scene.K, scene.H, scene.W
-
     def loss_fn(params, rays: Rays, target, neighbor_time, rng):
         out = render_rays(
             field, params["coarse"], rays, cfg, rng=rng,
@@ -184,15 +181,7 @@ def make_dnerf_step(
         metrics["total_loss"] = loss
         return loss, metrics
 
-    def step(state: TrainState, images, poses, times, img_i, pixels, neighbor_time, rng):
-        c2w = poses[img_i][:3, :4]
-        rays_o, rays_d = get_rays_at(pixels, H, W, K, c2w)
-        target = images[img_i][pixels[:, 0], pixels[:, 1]]
-        t = jnp.full((pixels.shape[0], 1), times[img_i], jnp.float32)
-        rays = build_rays(
-            rays_o, rays_d, scene.near, scene.far,
-            use_viewdirs=cfg.use_viewdirs, ndc=False, times=t,
-        )
+    def inner(state: TrainState, rays: Rays, target, neighbor_time, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, rays, target, neighbor_time, step_rng
@@ -201,13 +190,11 @@ def make_dnerf_step(
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, opt_state), metrics
 
-    if mesh is not None:
-        from swnerf_tpu.parallel import shard_cli_step
+    # The pixels -> Rays construction (and the jit/shard wrapping) is the
+    # shared CLI adapter — one copy serves the fused and autodiff steps.
+    from swnerf_tpu.pipelines.common import make_time_image_step
 
-        # (state, images, poses, times, img_i, pixels, neighbor_time, rng):
-        # only the pixel batch shards over the rays axis.
-        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,))
-    return jax.jit(step, donate_argnums=(0,))
+    return make_time_image_step(inner, cfg, scene, mesh=mesh, pass_neighbor=True)
 
 
 def make_dnerf_scan_step(

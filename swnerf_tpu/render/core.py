@@ -299,6 +299,13 @@ def _render_image_fn(
     use_eval_pass = (
         field.eval_pass is not None and mesh is None and has_vd and not has_t
     )
+    if use_eval_pass and fine_field is not None:
+        # The coarse arch was validated when eval_pass was attached; an
+        # unsupported FINE architecture (e.g. netwidth_fine % 128 != 0)
+        # must fall back to the generic path.
+        from swnerf_tpu.render.fused_eval import supports_eval_pass
+
+        use_eval_pass = supports_eval_pass(field.cfg, fine_field)
 
     def run(params, fine_params, xs):
         def body(tile_arrays):

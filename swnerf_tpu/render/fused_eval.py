@@ -22,12 +22,27 @@ import jax.numpy as jnp
 
 from swnerf_tpu.ops.embedding import positional_encoding
 from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
+from swnerf_tpu.train.fused_step import _dists_scaled
 
 
-def _dists_scaled(z_vals, rays_d):
-    d = z_vals[..., 1:] - z_vals[..., :-1]
-    d = jnp.concatenate([d, jnp.full_like(d[..., :1], 1e10)], -1)
-    return d * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+def supports_eval_pass(mcfg, fine_field) -> bool:
+    """Both passes' architectures must be kernel-supported with matching
+    embedding dims (shared in-kernel encode constants). The coarse cfg was
+    validated when the eval_pass was attached (models/vanilla.py); the fine
+    field is only known at render time."""
+    from swnerf_tpu.ops.pallas.raymarch import supports_config
+
+    if fine_field is None:
+        return True
+    fcfg = getattr(fine_field, "cfg", None)
+    if fcfg is None:
+        return False
+    return (
+        supports_config(fcfg)
+        and fcfg.i_embed == 0
+        and (fcfg.multires, fcfg.multires_views)
+        == (mcfg.multires, mcfg.multires_views)
+    )
 
 
 def make_vanilla_eval_pass(mcfg, interpret: bool = False,

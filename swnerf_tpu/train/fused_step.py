@@ -45,12 +45,7 @@ def supports_fused_tnerf_step(cfg, rcfg: RenderConfig) -> bool:
     forces n_importance=0, reference run_tnerf.py:329), fourier embeds."""
     from swnerf_tpu.ops.pallas.raymarch import supports_tnerf
 
-    return (
-        supports_tnerf(cfg)
-        and cfg.i_embed == 0
-        and rcfg.n_importance == 0
-        and cfg.in_feat + cfg.time_feat + 0 <= 128
-    )
+    return supports_tnerf(cfg) and cfg.i_embed == 0 and rcfg.n_importance == 0
 
 
 def make_fused_tnerf_step(

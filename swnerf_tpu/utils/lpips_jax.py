@@ -175,6 +175,7 @@ _NET_FILES = {
     "alex": ("alexnet.pth", "alex.pth"),
     "vgg": ("vgg16.pth", "vgg.pth"),
 }
+_CHANNELS = {"alex": [64, 192, 384, 256, 256], "vgg": [64, 128, 256, 512, 512]}
 
 
 class LPIPSJax:
@@ -191,7 +192,7 @@ class LPIPSJax:
         self.net = net
         self.params = load_backbone_params(backbone_path, net)
         self.params.update(load_linear_params(lin_path))
-        n_taps = 5 if net == "alex" else 5
+        n_taps = len(_CHANNELS[net])
         if not all(f"lin{i}" in self.params for i in range(n_taps)):
             raise ValueError("linear-head count does not match the backbone taps")
         self._jit = None

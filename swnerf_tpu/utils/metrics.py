@@ -104,7 +104,7 @@ def ssim(
     return float(S[crop].mean())
 
 
-_LPIPS_MODEL = None
+_LPIPS_MODELS: dict = {}  # net name -> torch lpips.LPIPS instance
 
 # Written next to any null lpips value so downstream consumers of
 # metrics.json know the schema delta is deliberate, not a bug (the reference
@@ -128,7 +128,12 @@ def lpips_available(net: str = "alex") -> bool:
     except ImportError:
         from swnerf_tpu.utils import lpips_jax
 
-        return lpips_jax.from_env(net) is not None
+        try:
+            return lpips_jax.from_env(net) is not None
+        except Exception:
+            # e.g. torch absent (the weight loader needs it) or unreadable
+            # weight files — treat as unavailable, not a crash.
+            return False
 
 
 def lpips(gt: np.ndarray, pred: np.ndarray, net: str = "alex") -> Optional[float]:
@@ -136,23 +141,26 @@ def lpips(gt: np.ndarray, pred: np.ndarray, net: str = "alex") -> Optional[float
     implementation with SWNERF_LPIPS_DIR-provided weights
     (utils/lpips_jax.py), else None (recorded as null in metrics.json —
     the reference hard-depends on the package, nerf/run.py:11,54)."""
-    global _LPIPS_MODEL
     try:
         import lpips as lpips_pkg
         import torch
     except ImportError:
         from swnerf_tpu.utils import lpips_jax
 
-        model = lpips_jax.from_env(net)
+        try:
+            model = lpips_jax.from_env(net)
+        except Exception:
+            return None
         if model is None:
             return None
         return model(np.asarray(gt), np.clip(np.asarray(pred), 0, 1))
-    if _LPIPS_MODEL is None:
-        _LPIPS_MODEL = lpips_pkg.LPIPS(net=net)
+    if net not in _LPIPS_MODELS:
+        _LPIPS_MODELS[net] = lpips_pkg.LPIPS(net=net)
+    model = _LPIPS_MODELS[net]
     with torch.no_grad():
         g = torch.tensor(np.asarray(gt)).permute(2, 0, 1).unsqueeze(0).float()
         p = torch.tensor(np.clip(np.asarray(pred), 0, 1)).permute(2, 0, 1).unsqueeze(0).float()
-        return float(_LPIPS_MODEL(g, p))
+        return float(model(g, p))
 
 
 def calculate_metrics(gt: np.ndarray, pred: np.ndarray):

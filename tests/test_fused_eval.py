@@ -80,3 +80,23 @@ class TestFusedEval:
         np.testing.assert_allclose(
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
         )
+
+    def test_unsupported_fine_arch_falls_back(self):
+        """A fine net the kernel can't express (netwidth % 128 != 0, legal
+        in the reference CLI) must route the WHOLE render through the
+        generic path instead of feeding the kernel a bad config."""
+        cfg, plain, fused = self._fields()
+        fcfg = VanillaNeRFConfig(netdepth=3, netwidth=96, skips=(1,),
+                                 multires=4, multires_views=2)
+        fine_plain = make_vanilla_field(fcfg, fused=False)
+        rcfg = RenderConfig(n_samples=8, n_importance=8, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        fine = fine_plain.init(jax.random.PRNGKey(1))
+        rays = _rays(64)
+        a = render_image(plain, params, rays, rcfg, chunk=64, fine_params=fine,
+                         fine_field=fine_plain)
+        b = render_image(fused, params, rays, rcfg, chunk=64, fine_params=fine,
+                         fine_field=fine_plain)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
+        )
