@@ -153,4 +153,19 @@ def make_tnerf_field(cfg: TNeRFConfig, fused=None, fused_interpret: bool = False
             raw = apply_tnerf(params, cfg, pts_emb, views_emb, time_emb)
         return raw, {}
 
-    return Field(init, apply)
+    import os
+
+    from swnerf_tpu.ops.pallas.raymarch import supports_tnerf
+
+    eval_pass = None
+    if cfg.i_embed == 0 and supports_tnerf(cfg) and (
+        (use_fused and os.environ.get("SWNERF_FUSED_EVAL", "1") != "0")
+        or fused_interpret
+    ):
+        from swnerf_tpu.render.fused_eval import make_tnerf_eval_pass
+
+        eval_pass = make_tnerf_eval_pass(
+            cfg, interpret=fused_interpret,
+            compute_dtype=jnp.float32 if fused_interpret else jnp.bfloat16,
+        )
+    return Field(init, apply, cfg=cfg, eval_pass=eval_pass)

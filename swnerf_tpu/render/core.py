@@ -296,8 +296,12 @@ def _render_image_fn(
     # kernel per pass with the composite in-kernel. Single-device only —
     # under a mesh the body must stay GSPMD-partitionable (no raw Mosaic
     # custom calls inside the sharded lax.map).
+    # Time-conditioned eval passes (T-NeRF) declare supports_times; the
+    # plain vanilla pass must not see a times lane and vice versa (the
+    # packed weights expect the [embed(xyz)|embed(t)] input layout).
     use_eval_pass = (
-        field.eval_pass is not None and mesh is None and has_vd and not has_t
+        field.eval_pass is not None and mesh is None and has_vd
+        and has_t == bool(getattr(field.eval_pass, "supports_times", False))
     )
     if use_eval_pass and fine_field is not None:
         # The coarse arch was validated when eval_pass was attached; an

@@ -93,3 +93,36 @@ def make_vanilla_eval_pass(mcfg, interpret: bool = False,
         return res["rgb"], disp, res["acc"], res["depth"]
 
     return run
+
+
+def make_tnerf_eval_pass(mcfg, interpret: bool = False,
+                         compute_dtype=jnp.bfloat16):
+    """T-NeRF variant: single time-conditioned pass (the runner forces
+    n_importance=0); the per-ray frame time rides the kernel's o8 lane 3
+    and the combined [embed(xyz)|embed(t)] constants (arch=\"tnerf\")."""
+    from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
+
+    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+
+    def run(params, fine_params, fine_field, rays, ecfg):
+        del fine_params, fine_field  # single model (run_tnerf.py:329)
+        if ecfg.n_importance:
+            raise ValueError("the T-NeRF eval pass is single-pass (n_importance=0)")
+        n = rays.origins.shape[0]
+        vd_emb = positional_encoding(rays.viewdirs, mcfg.nf_views)
+        z_vals = sample_along_rays(
+            None, rays.near, rays.far, ecfg.n_samples, 0.0, ecfg.lindisp
+        )
+        res, _ = fused_render_pass(
+            params, mcfg, None, vd_emb, z_vals,
+            _dists_scaled(z_vals, rays.directions), jnp.zeros(z_vals.shape),
+            jnp.zeros((n, 3)), ecfg.white_bkgd, 0.0, rays_per_tile=rc,
+            interpret=interpret, compute_dtype=compute_dtype,
+            origins=rays.origins, directions=rays.directions,
+            times=rays.times, arch="tnerf", need_param_grads=False,
+        )
+        disp = 1.0 / jnp.maximum(1e-10, res["depth"] / res["acc"])
+        return res["rgb"], disp, res["acc"], res["depth"]
+
+    run.supports_times = True
+    return run

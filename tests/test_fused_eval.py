@@ -81,6 +81,32 @@ class TestFusedEval:
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
         )
 
+    def test_tnerf_time_conditioned(self):
+        """T-NeRF eval pass: per-ray frame time through the kernel's
+        [embed(xyz)|embed(t)] constants; matches the plain path."""
+        from swnerf_tpu.models.tnerf import TNeRFConfig, make_tnerf_field
+
+        cfg = TNeRFConfig(netdepth=4, net_dim=128, skip_layer=2, multires=4,
+                          multires_views=2)
+        plain = make_tnerf_field(cfg, fused=False)
+        assert plain.eval_pass is None
+        fused = make_tnerf_field(cfg, fused=False, fused_interpret=True)
+        assert fused.eval_pass is not None and fused.eval_pass.supports_times
+        rcfg = RenderConfig(n_samples=8, n_importance=0, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        base = _rays(64)
+        t = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 1, (64, 1)).astype(np.float32)
+        )
+        rays = base._replace(times=t)
+        a = render_image(plain, params, rays, rcfg, chunk=64)
+        b = render_image(fused, params, rays, rcfg, chunk=64)
+        for k in ("rgb", "disp", "acc", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, rtol=5e-4,
+                err_msg=k,
+            )
+
     def test_unsupported_fine_arch_falls_back(self):
         """A fine net the kernel can't express (netwidth % 128 != 0, legal
         in the reference CLI) must route the WHOLE render through the
