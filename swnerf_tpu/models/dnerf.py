@@ -282,4 +282,18 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
         raw = _trunk_apply(params["canonical"], cfg, pts_emb, views_emb, use_fused)
         return raw, {"dx": dx}
 
-    return Field(init, apply)
+    import os
+
+    from swnerf_tpu.ops.pallas.raymarch import supports_config, supports_time_net
+
+    eval_pass = None
+    if cfg.i_embed == 0 and supports_config(cfg) and supports_time_net(cfg):
+        fused_interpret = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
+        if (use_fused and os.environ.get("SWNERF_FUSED_EVAL", "1") != "0") or fused_interpret:
+            from swnerf_tpu.render.fused_eval import make_dnerf_eval_pass
+
+            eval_pass = make_dnerf_eval_pass(
+                cfg, interpret=fused_interpret,
+                compute_dtype=jnp.float32 if fused_interpret else jnp.bfloat16,
+            )
+    return Field(init, apply, cfg=cfg, eval_pass=eval_pass)

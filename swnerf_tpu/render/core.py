@@ -309,7 +309,7 @@ def _render_image_fn(
         # must fall back to the generic path.
         from swnerf_tpu.render.fused_eval import supports_eval_pass
 
-        use_eval_pass = supports_eval_pass(field.cfg, fine_field)
+        use_eval_pass = supports_eval_pass(field.cfg, fine_field, field.eval_pass)
 
     def run(params, fine_params, xs):
         def body(tile_arrays):

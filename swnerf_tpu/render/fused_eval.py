@@ -25,17 +25,21 @@ from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
 from swnerf_tpu.train.fused_step import _dists_scaled
 
 
-def supports_eval_pass(mcfg, fine_field) -> bool:
+def supports_eval_pass(mcfg, fine_field, eval_pass=None) -> bool:
     """Both passes' architectures must be kernel-supported with matching
     embedding dims (shared in-kernel encode constants). The coarse cfg was
-    validated when the eval_pass was attached (models/vanilla.py); the fine
-    field is only known at render time."""
+    validated when the eval_pass was attached (models/*.py); the fine
+    field is only known at render time. Passes with extra per-arch fine
+    requirements (the D-NeRF deformation net) attach a ``fine_check``."""
     from swnerf_tpu.ops.pallas.raymarch import supports_config
 
     if fine_field is None:
         return True
     fcfg = getattr(fine_field, "cfg", None)
     if fcfg is None:
+        return False
+    extra = getattr(eval_pass, "fine_check", None)
+    if extra is not None and not extra(fcfg):
         return False
     return (
         supports_config(fcfg)
@@ -125,4 +129,74 @@ def make_tnerf_eval_pass(mcfg, interpret: bool = False,
         return res["rgb"], disp, res["acc"], res["depth"]
 
     run.supports_times = True
+    return run
+
+
+def make_dnerf_eval_pass(mcfg, interpret: bool = False,
+                         compute_dtype=jnp.bfloat16):
+    """DirectTemporalNeRF variant: deformation net (fused kernel) then the
+    canonical pass on pts + dx (pts-mode in-kernel encode), forward-only.
+    params trees are {"canonical": ..., "time_net": ...}."""
+    from swnerf_tpu.models.dnerf import apply_time_net
+    from swnerf_tpu.ops.pallas.raymarch import fused_time_net, supports_time_net
+    from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
+
+    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    rf = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+
+    def dx_at(tp, ccfg, pts, times):
+        tb = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(tb, ccfg.nf_time)
+        if interpret:
+            dx = apply_time_net(tp, ccfg, pe, te)
+        else:
+            dx = fused_time_net(tp, ccfg, pe, te, compute_dtype=compute_dtype,
+                                need_input_grads=False)
+        if ccfg.zero_canonical:
+            dx = jnp.where(tb == 0.0, jnp.zeros_like(dx), dx)
+        return dx
+
+    def run(params, fine_params, fine_field, rays, ecfg):
+        n = rays.origins.shape[0]
+        vd_emb = positional_encoding(rays.viewdirs, mcfg.nf_views)
+        ztgt = jnp.zeros((n, 3))
+
+        def pts_of(z):
+            return rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
+
+        def one(p, ccfg, z, tile):
+            pts2 = pts_of(z) + dx_at(p["time_net"], ccfg, pts_of(z), rays.times)
+            res, _ = fused_render_pass(
+                p["canonical"], ccfg, None, vd_emb, z,
+                _dists_scaled(z, rays.directions), jnp.zeros(z.shape), ztgt,
+                ecfg.white_bkgd, 0.0, rays_per_tile=tile,
+                interpret=interpret, compute_dtype=compute_dtype,
+                pts=pts2, need_param_grads=False,
+            )
+            return res
+
+        z_vals = sample_along_rays(
+            None, rays.near, rays.far, ecfg.n_samples, 0.0, ecfg.lindisp
+        )
+        res = one(params, mcfg, z_vals, rc)
+        if ecfg.n_importance > 0:
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(
+                z_mid, res["weights"][..., 1:-1], ecfg.n_importance,
+                rng=None, det=True,
+            )
+            z_all = merge_z_vals(z_vals, z_samples)
+            fcfg = mcfg
+            if fine_field is not None and getattr(fine_field, "cfg", None) is not None:
+                fcfg = fine_field.cfg
+            res = one(
+                fine_params if fine_params is not None else params,
+                fcfg, z_all, rf,
+            )
+        disp = 1.0 / jnp.maximum(1e-10, res["depth"] / res["acc"])
+        return res["rgb"], disp, res["acc"], res["depth"]
+
+    run.supports_times = True
+    run.fine_check = supports_time_net
     return run

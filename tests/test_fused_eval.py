@@ -107,6 +107,34 @@ class TestFusedEval:
                 err_msg=k,
             )
 
+    def test_dnerf_time_conditioned(self, monkeypatch):
+        """D-NeRF eval pass: deformation net + canonical pts-mode kernel
+        (interpret via the SWNERF_FUSED_STEP=force-interpret env, as the
+        CLI wires it); matches the plain path incl. t==0 rays."""
+        from swnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_field
+
+        cfg = DNeRFConfig(netdepth=3, netwidth=128, skips=(1,), multires=4,
+                          multires_views=2)
+        plain = make_dnerf_field(cfg, fused=False)
+        assert plain.eval_pass is None
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        fused = make_dnerf_field(cfg, fused=False)
+        assert fused.eval_pass is not None and fused.eval_pass.supports_times
+        rcfg = RenderConfig(n_samples=8, n_importance=8, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        fine = plain.init(jax.random.PRNGKey(1))
+        base = _rays(64)
+        t = np.random.default_rng(3).uniform(0, 1, (64, 1)).astype(np.float32)
+        t[:16] = 0.0  # exercise the zero_canonical mask
+        rays = base._replace(times=jnp.asarray(t))
+        a = render_image(plain, params, rays, rcfg, chunk=64, fine_params=fine)
+        b = render_image(fused, params, rays, rcfg, chunk=64, fine_params=fine)
+        for k in ("rgb", "disp", "acc", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, rtol=5e-4,
+                err_msg=k,
+            )
+
     def test_unsupported_fine_arch_falls_back(self):
         """A fine net the kernel can't express (netwidth % 128 != 0, legal
         in the reference CLI) must route the WHOLE render through the
