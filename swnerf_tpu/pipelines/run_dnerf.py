@@ -384,7 +384,7 @@ def train(argv=None):
         j, met = pending
         m = {k: float(v) for k, v in met.items()}
         logger.scalars(j, m)
-        logger.throughput(j, samples_per_step, jax.device_count())
+        logger.throughput(j, samples_per_step, jax.device_count(), synced=k_disp > 1)
         txt = f"[TRAIN] Iter: {j} Loss_fine: {m['loss']:.6f} PSNR: {m['psnr']:.3f}"
         if "tv" in m:
             txt += f" TV: {m['tv']:.6f}"

@@ -273,8 +273,12 @@ def train(argv=None):
         j, met = pending
         m = {k: float(v) for k, v in met.items()}
         logger.scalars(j, m)
-        tp = logger.throughput(j, samples_per_step, jax.device_count())
-        rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip" if tp else ""
+        tp = logger.throughput(j, samples_per_step, jax.device_count(), synced=k_disp > 1)
+        rate = ""
+        if "ray_samples_per_sec_per_chip" in tp:
+            rate = f" {tp['ray_samples_per_sec_per_chip']/1e6:.2f}M samp/s/chip"
+        elif "ray_samples_per_sec_per_chip_enqueue" in tp:
+            rate = f" {tp['ray_samples_per_sec_per_chip_enqueue']/1e6:.2f}M samp/s/chip (enqueue)"
         print(f"[TRAIN] Iter: {j} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
 
     pending = None

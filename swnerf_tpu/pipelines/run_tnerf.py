@@ -199,7 +199,7 @@ def train(argv=None):
         j, met = pending
         m = {k: float(v) for k, v in met.items()}
         logger.scalars(j, m)
-        logger.throughput(j, samples_per_step, jax.device_count())
+        logger.throughput(j, samples_per_step, jax.device_count(), synced=k_disp > 1)
         print(f"[TRAIN] Iter: {j} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
 
     cadences = (args.i_weights, args.i_print, args.i_video, args.i_testset)

@@ -72,8 +72,19 @@ class ExperimentLogger:
                 img = img[..., None]
             self._tb.add_image(tag, np.clip(img, 0, 1), int(step), dataformats="HWC")
 
-    def throughput(self, step: int, samples_per_step: int, n_devices: int) -> Dict[str, float]:
-        """steps/sec + ray-samples/sec/chip since the last call."""
+    def throughput(
+        self, step: int, samples_per_step: int, n_devices: int, synced: bool = True
+    ) -> Dict[str, float]:
+        """steps/sec + ray-samples/sec/chip since the last call.
+
+        ``synced=False`` marks windows timed under per-step async dispatch
+        (K=1 steps per dispatch): the host can enqueue ahead of the device,
+        so the reading is an upper bound (host enqueue rate, not device
+        throughput — VALIDATION.md round-2 K=1 note). Such windows get
+        ``_enqueue``-suffixed keys so they can't be mistaken for the
+        BASELINE device metric; K>1 scan dispatches block on the fetched
+        metrics each window and time true device throughput.
+        """
         now = time.perf_counter()
         if self._step_last is None:
             self._step_last, self._t_last = step, now
@@ -82,9 +93,11 @@ class ExperimentLogger:
         dt = max(now - self._t_last, 1e-9)
         self._step_last, self._t_last = step, now
         sps = dsteps / dt
+        suffix = "" if synced else "_enqueue"
         out = {
-            "steps_per_sec": sps,
-            "ray_samples_per_sec_per_chip": sps * samples_per_step / max(n_devices, 1),
+            "steps_per_sec" + suffix: sps,
+            "ray_samples_per_sec_per_chip"
+            + suffix: sps * samples_per_step / max(n_devices, 1),
         }
         self.scalars(step, out)
         return out
