@@ -26,7 +26,23 @@ time (no reference code is modified):
   * lpips -> a zero-valued stand-in (pretrained weights need egress).
 
 Env knobs: PARITY_ITERS (default 2000), PARITY_SIZE (64), PARITY_N_RAND
-(128), PARITY_SAMPLES (32), PARITY_MODE (nerf|dnerf), PARITY_OUT dir.
+(128), PARITY_SAMPLES (32), PARITY_MODE (nerf|dnerf|tnerf|multires),
+PARITY_OUT dir, PARITY_GOE (multires global_optimization_epoch, 500).
+
+Mode notes:
+  * tnerf runs /root/reference/t_nerf/run_tnerf.py train() (its N_iter flag
+    bounds the loop; add_tv_loss must stay off — the reference's i_print
+    block references an undefined tv_loss otherwise, run_tnerf.py:733-735).
+  * multires runs /root/reference/multires_dnerf/multires_dnerf.py train()
+    (phase 1 = layer_num x global_optimization_epoch private iters, phase 2
+    = N_iter joint patch iters). Both checkpoints are evaluated the same
+    way: each level rendered at its own pyramid resolution, reconstructed
+    with swnerf_tpu's pyramid inverse, PSNR vs the full-res GT test frames.
+    Known schedule delta (run_multires.py docstring): the reference's
+    phase 1 samples target pixels from the FULL-RES image at
+    level-resolution coordinates (multires_dnerf.py:777-802) while ours
+    trains against the gaussian level — the aligned, intended target — so
+    a gap in the reference's favor is not expected.
 """
 
 from __future__ import annotations
@@ -156,6 +172,27 @@ def build_config(mode, out, data, iters):
             precrop_iters_time="0",
             use_two_models_for_fine="False",
         )
+    elif mode == "tnerf":
+        # Single time-conditioned net; N_importance is forced to 0 by both
+        # sides (reference run_tnerf.py:329). add_tv_loss must be False
+        # (undefined tv_loss in the reference's print block otherwise).
+        cfg.update(
+            nerf_type="direct_temporal",
+            N_iter=str(iters),
+            precrop_iters="0",
+            precrop_iters_time="0",
+        )
+    elif mode == "multires":
+        goe = os.environ.get("PARITY_GOE", "500")
+        cfg.update(
+            nerf_type="direct_temporal",
+            N_iter=str(iters),
+            N_importance="0",
+            layer_num="4",
+            global_optimization_epoch=goe,
+            precrop_iters="0",
+            precrop_iters_time="0",
+        )
     return cfg, size
 
 
@@ -177,7 +214,22 @@ def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     import torch
 
     torch.manual_seed(int(os.environ.get("PARITY_REF_SEED", "0")))
-    runner = "nerf/run.py" if mode == "nerf" else "d_nerf/run_dnerf.py"
+    runner = {
+        "nerf": "nerf/run.py",
+        "dnerf": "d_nerf/run_dnerf.py",
+        "tnerf": "t_nerf/run_tnerf.py",
+        "multires": "multires_dnerf/multires_dnerf.py",
+    }[mode]
+    if mode == "multires":
+        # multires_dnerf.py does `import pyramid` relative to its own dir
+        # BEFORE its sys.path.append (multires_dnerf.py:7).
+        sys.path.insert(0, os.path.join(REFERENCE, "multires_dnerf"))
+        # get_random_patch_coords draws from the stdlib `random` module
+        # (multires_dnerf.py:543-544) which the reference never seeds; seed
+        # it from the run seed so reruns are reproducible.
+        import random as _random
+
+        _random.seed(int(os.environ.get("PARITY_REF_SEED", "0")))
     t0 = time.time()
     mod = import_reference_module(runner)
     torch.autograd.set_detect_anomaly(False)  # utils.py:2 foot-gun; speed only
@@ -212,6 +264,10 @@ def run_ours(mode, cfgpath, iters, seed=0):
     t0 = time.time()
     if mode == "nerf":
         from swnerf_tpu.pipelines.run_nerf import train
+    elif mode == "tnerf":
+        from swnerf_tpu.pipelines.run_tnerf import train
+    elif mode == "multires":
+        from swnerf_tpu.pipelines.run_multires import train
     else:
         from swnerf_tpu.pipelines.run_dnerf import train
     train(["--config", cfgpath])
@@ -221,6 +277,64 @@ def run_ours(mode, cfgpath, iters, seed=0):
 # ---------------------------------------------------------------------------
 # Identical evaluation of both checkpoints
 # ---------------------------------------------------------------------------
+
+
+def _eval_multires_ckpt(ckpt, scene, n_samp, label):
+    """Per-level render at each pyramid resolution -> reconstruct -> PSNR
+    vs the full-res GT test frames. Same deterministic evaluation for both
+    checkpoints (the .tar per-layer keys network_fn_{l} are schema-shared,
+    multires_dnerf.py:1010-1024)."""
+    import argparse as ap
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from swnerf_tpu.models import make_dnerf_field
+    from swnerf_tpu.ops.pyramid import reconstruct_from_pyramid
+    from swnerf_tpu.pipelines.common import render_path
+    from swnerf_tpu.pipelines.run_multires import CHANNEL_LIST, _level_cfg
+    from swnerf_tpu.render.core import RenderConfig
+    from swnerf_tpu.train.checkpoint import state_dict_to_params
+    from swnerf_tpu.utils.metrics import psnr
+
+    L = sum(1 for k in ckpt if k.startswith("network_fn_"))
+    margs = ap.Namespace(
+        netdepth=8, netwidth=256, N_importance=0, use_viewdirs=True,
+        not_zero_canonical=False,
+    )
+    rcfg = RenderConfig(
+        n_samples=n_samp, n_importance=0, perturb=0.0, raw_noise_std=0.0,
+        white_bkgd=True, use_viewdirs=True,
+    )
+    times = scene.times[scene.i_test]
+    level_frames = []
+    for l in range(L):
+        cfg_l = _level_cfg(margs, CHANNEL_LIST[l % len(CHANNEL_LIST)])
+        field = make_dnerf_field(cfg_l)
+        template = field.init(jax.random.PRNGKey(0))
+        params_l = state_dict_to_params(
+            "direct_temporal", ckpt[f"network_fn_{l}"], template
+        )
+        scale = 2**l
+        H_l, W_l = scene.H // scale, scene.W // scale
+        focal_l = scene.focal / scale
+        lscene = dataclasses.replace(
+            scene, H=H_l, W=W_l, focal=focal_l,
+            K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
+        )
+        rgbs, _ = render_path(
+            field, params_l, None, scene.poses[scene.i_test], lscene, rcfg,
+            chunk=8192, times=times,
+        )
+        level_frames.append(jnp.asarray(rgbs))
+    recon = np.asarray(reconstruct_from_pyramid(level_frames))
+    gt = scene.images[scene.i_test]
+    frames = [psnr(g, np.clip(p, 0, 1), data_range=1.0) for g, p in zip(gt, recon)]
+    mean = float(np.mean(frames))
+    print(f"[eval] {label}: mean test PSNR {mean:.3f} dB  frames={['%.2f' % f for f in frames]}")
+    return mean, frames
 
 
 def eval_ckpt(mode, tarpath, scene_args, label):
@@ -235,6 +349,10 @@ def eval_ckpt(mode, tarpath, scene_args, label):
 
     scene = load_scene(scene_args)
     ckpt = load_tar(tarpath)
+    n_samp = int(os.environ.get("PARITY_SAMPLES", "32"))
+
+    if mode == "multires":
+        return _eval_multires_ckpt(ckpt, scene, n_samp, label)
 
     if mode == "nerf":
         from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
@@ -242,6 +360,15 @@ def eval_ckpt(mode, tarpath, scene_args, label):
         mcfg = VanillaNeRFConfig(output_ch=5)
         field = make_vanilla_field(mcfg)
         kind = "vanilla"
+    elif mode == "tnerf":
+        from swnerf_tpu.models import TNeRFConfig, make_tnerf_field
+
+        # TNeRF as wired by the reference (run_tnerf.py:264-280): net_dim
+        # 128, skip_layer 4, time embedded with `multires` freqs.
+        mcfg = TNeRFConfig(netdepth=8, net_dim=128, skip_layer=4, multires=10,
+                           multires_views=4, i_embed=0)
+        field = make_tnerf_field(mcfg)
+        kind = "tnerf"
     else:
         from swnerf_tpu.models import DNeRFConfig, make_dnerf_field
 
@@ -256,9 +383,10 @@ def eval_ckpt(mode, tarpath, scene_args, label):
 
     from swnerf_tpu.render.core import RenderConfig
 
-    n_samp = int(os.environ.get("PARITY_SAMPLES", "32"))
     rcfg = RenderConfig(
-        n_samples=n_samp, n_importance=n_samp, perturb=0.0, raw_noise_std=0.0,
+        n_samples=n_samp,
+        n_importance=0 if mode == "tnerf" else n_samp,
+        perturb=0.0, raw_noise_std=0.0,
         white_bkgd=True, use_viewdirs=True,
     )
     times = scene.times[scene.i_test] if scene.times is not None else None
@@ -287,7 +415,8 @@ def main():
 
         size = int(os.environ.get("PARITY_SIZE", "64"))
         write_blender_scene(
-            data, n_train=20, n_val=2, n_test=3, size=size, dynamic=(mode == "dnerf")
+            data, n_train=20, n_val=2, n_test=3, size=size,
+            dynamic=mode in ("dnerf", "tnerf", "multires"),
         )
         print("scene written:", data)
 

@@ -376,6 +376,33 @@ def train(argv=None):
 
     cadences = (args.i_weights, args.i_print, args.i_img, args.i_video, args.i_testset)
 
+    # Dead-init watchdog (PERFORMANCE.md seed pathology): the torch-default /
+    # kaiming init leaves the density head's output at its bias on a per-seed
+    # coin flip; a negative draw is ReLU-dead with exactly zero gradients and
+    # the run renders the constant background forever. The reference shares
+    # the init and the failure mode; its documented remedy is
+    # ``--raw_noise_std 1e0`` (regression-tested in tests/test_train.py).
+    psnr_history: list = []
+    dead_init_warned = [False]
+
+    def check_dead_init(j, psnr):
+        if dead_init_warned[0] or j < 500:
+            psnr_history.append(psnr)
+            del psnr_history[:-8]
+            return
+        psnr_history.append(psnr)
+        del psnr_history[:-8]
+        if len(psnr_history) >= 8 and max(psnr_history) - min(psnr_history) < 0.02:
+            dead_init_warned[0] = True
+            print(
+                f"[WARN] PSNR has been flat at {psnr:.2f} dB for "
+                f"{8 * args.i_print} iters — this seed likely drew the "
+                "dead-density init (zero gradients; the model renders the "
+                "constant background). Restart with a different seed or add "
+                "`--raw_noise_std 1e0` (the reference's remedy; see "
+                "PERFORMANCE.md 'Seed pathology')."
+            )
+
     def flush_pending(pending):
         # One-boundary-behind metric fetch keeps the dispatch pipeline full
         # (see run_nerf.py flush_pending).
@@ -389,6 +416,7 @@ def train(argv=None):
         if "tv" in m:
             txt += f" TV: {m['tv']:.6f}"
         print(txt)
+        check_dead_init(j, m["psnr"])
 
     print("Begin")
     pending = None

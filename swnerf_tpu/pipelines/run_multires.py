@@ -370,6 +370,7 @@ def train(argv=None):
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     print("Begin joint training")
+    metrics = {}
     for i in range(start + 1, n_iters):
         coords = initialize_patches(host_rng, pyr_hwf, i)
         img_i = int(host_rng.choice(scene.i_train))
@@ -451,6 +452,7 @@ def train(argv=None):
             print("Saved test set reconstructed images")
 
     logger.close()
+    return {k: float(v) for k, v in metrics.items()}
 
 
 if __name__ == "__main__":

@@ -259,6 +259,7 @@ def train(argv=None):
 
     flush_pending(pending)
     logger.close()
+    return {k: float(v) for k, v in metrics.items()}
 
 
 if __name__ == "__main__":

@@ -293,14 +293,15 @@ def _render_image_fn(
         _RENDER_IMAGE_JITS.clear()
 
     # Forward-only fused whole-pass eval (render/fused_eval.py): one Pallas
-    # kernel per pass with the composite in-kernel. Single-device only —
-    # under a mesh the body must stay GSPMD-partitionable (no raw Mosaic
-    # custom calls inside the sharded lax.map).
+    # kernel per pass with the composite in-kernel. Under a mesh the body
+    # can't stay in plain GSPMD (Mosaic custom calls aren't partitionable),
+    # so the fused pass runs per-device inside shard_map over the tile axis
+    # — the same treatment the train side gets (shard_map_train_step).
     # Time-conditioned eval passes (T-NeRF) declare supports_times; the
     # plain vanilla pass must not see a times lane and vice versa (the
     # packed weights expect the [embed(xyz)|embed(t)] input layout).
     use_eval_pass = (
-        field.eval_pass is not None and mesh is None and has_vd
+        field.eval_pass is not None and has_vd
         and has_t == bool(getattr(field.eval_pass, "supports_times", False))
     )
     if use_eval_pass and fine_field is not None:
@@ -335,7 +336,21 @@ def _render_image_fn(
 
         rep = NamedSharding(mesh, P())
         shd = NamedSharding(mesh, P(RAYS_AXIS))
-        fn = jax.jit(run, in_shardings=(rep, rep, shd), out_shardings=shd)
+        if use_eval_pass:
+            # Mosaic custom calls inside the body: map the tiles per-device
+            # with shard_map so each chip runs its own fused kernels; the
+            # fetched output still assembles over the rays axis.
+            from jax.experimental.shard_map import shard_map
+
+            run_local = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P(), P(RAYS_AXIS)),
+                out_specs=P(RAYS_AXIS),
+                check_rep=False,
+            )
+            fn = jax.jit(run_local)
+        else:
+            fn = jax.jit(run, in_shardings=(rep, rep, shd), out_shardings=shd)
     else:
         fn = jax.jit(run)
     _RENDER_IMAGE_JITS[key] = fn
