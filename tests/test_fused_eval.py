@@ -157,8 +157,11 @@ class TestFusedEval:
             fused, params, rays, rcfg, chunk=16, fine_params=fine, mesh=mesh
         )
         for k in ("rgb", "disp", "acc", "depth"):
-            np.testing.assert_array_equal(
-                np.asarray(single[k]), np.asarray(sharded[k]), err_msg=k
+            # Interpret-mode kernels are XLA ops: the lax.map and shard_map
+            # compilations may reassociate reductions differently (~1e-7).
+            np.testing.assert_allclose(
+                np.asarray(single[k]), np.asarray(sharded[k]), atol=1e-5,
+                rtol=1e-5, err_msg=k,
             )
         # And the plain path under the same mesh agrees numerically.
         ref = render_image(
@@ -192,8 +195,11 @@ class TestFusedEval:
         single = render_image(fused, params, rays, rcfg, chunk=8)
         sharded = render_image(fused, params, rays, rcfg, chunk=8, mesh=mesh)
         for k in ("rgb", "disp", "acc", "depth"):
-            np.testing.assert_array_equal(
-                np.asarray(single[k]), np.asarray(sharded[k]), err_msg=k
+            # See test_sharded_eval_pass_matches_single_device: interpret-
+            # mode compilations may reassociate reductions (~1e-7).
+            np.testing.assert_allclose(
+                np.asarray(single[k]), np.asarray(sharded[k]), atol=1e-5,
+                rtol=1e-5, err_msg=k,
             )
 
     def test_unsupported_fine_arch_falls_back(self):
