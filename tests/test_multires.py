@@ -108,6 +108,53 @@ class TestMultiResPipeline:
         monkeypatch.setenv("SWNERF_PHASE1_ITERS", "0")
         train(args)
 
+    def test_sharded_matches_single(self, tmp_path, monkeypatch):
+        """Both phases under the 8-device rays mesh produce the same
+        training trajectory as the single-device run (the other three
+        trainers' equivalence guarantee, test_parallel_cli.py)."""
+        import torch
+
+        from swnerf_tpu.pipelines.run_multires import train
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=4, size=64, dynamic=True)
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "2")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "5")
+        sds = {}
+        for tag, par in (("par", "1"), ("single", "0")):
+            monkeypatch.setenv("SWNERF_DATA_PARALLEL", par)
+            logs = tmp_path / tag
+            train([
+                "--expname", "mr",
+                "--basedir", str(logs),
+                "--datadir", str(data),
+                "--dataset_type", "blender",
+                "--white_bkgd", "--use_viewdirs",
+                "--nerf_type", "direct_temporal",
+                "--netdepth", "2", "--netwidth", "16",
+                "--N_rand", "16", "--N_samples", "4",
+                "--chunk", "4096",
+                "--testskip", "1",
+                "--layer_num", "3",
+                "--global_optimization_epoch", "2",
+                "--i_weights", "4", "--i_print", "2",
+                "--i_video", "100000", "--i_testset", "100000", "--i_img", "100000",
+                "--no_batching",
+            ])
+            ckpt = torch.load(
+                str(logs / "mr" / "000004.tar"), map_location="cpu", weights_only=False
+            )
+            sds[tag] = {
+                f"{l}/{k}": np.asarray(v)
+                for l in range(3)
+                for k, v in ckpt[f"network_fn_{l}"].items()
+            }
+        assert sds["par"].keys() == sds["single"].keys()
+        for k in sds["par"]:
+            np.testing.assert_allclose(
+                sds["par"][k], sds["single"][k], atol=2e-5, err_msg=k
+            )
+
     def test_identity_level_channels(self):
         """Level 3 of the channel list is the identity embedder: first layer
         consumes raw (x) 3 dims + time 1 dim."""
