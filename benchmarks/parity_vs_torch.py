@@ -409,7 +409,11 @@ def main():
     out = os.environ.get("PARITY_OUT", "/tmp/parity")
     os.makedirs(out, exist_ok=True)
 
-    data = os.path.join(out, f"data_{mode}")
+    # PARITY_SCENE=textured selects the multi-object high-frequency scene
+    # (checker sphere + striped box + occluder) — the soft sphere saturates
+    # at ~36 dB and stops discriminating (VERDICT round-2 missing #2).
+    gt_scene = os.environ.get("PARITY_SCENE", "sphere")
+    data = os.path.join(out, f"data_{mode}" + ("" if gt_scene == "sphere" else f"_{gt_scene}"))
     if not os.path.isdir(data):
         from swnerf_tpu.data.synthetic import write_blender_scene
 
@@ -417,6 +421,7 @@ def main():
         write_blender_scene(
             data, n_train=20, n_val=2, n_test=3, size=size,
             dynamic=mode in ("dnerf", "tnerf", "multires"),
+            scene=gt_scene,
         )
         print("scene written:", data)
 

