@@ -258,12 +258,18 @@ def _render_loss_kernel(
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
     rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
     from_rays: bool = False, input_grads: bool = False,
-    param_grads: bool = True,
+    param_grads: bool = True, ext_ct: bool = False,
 ):
     """One tile = R whole rays x S samples. Leading refs are either
     (emb, vemb, aux, tgt) or, with ``from_rays``, (o8, d8, vemb, aux, tgt);
-    then weights..., grad-accums..., perray_out [R, 128],
-    weights_out [B, 128(lane 0)].
+    then, with ``ext_ct``, gct [R, 128]; then weights..., grad-accums...,
+    perray_out [R, 128], weights_out [B, 128(lane 0)].
+
+    ``ext_ct``: the reverse sweep's per-ray cotangent comes from the gct
+    input (lanes 0-2 = d loss/d rgb_map AFTER white compositing, 3 =
+    d/d acc_map, 4 = d/d depth_map) instead of the in-kernel MSE — the
+    differentiable-outputs mode backing losses the kernel can't express
+    (e.g. MultiRes' pyramid-reconstruction term). tgt is ignored.
 
     vemb_ref is PER-RAY [R, 128] (viewdirs are constant along a ray) and is
     broadcast to rows in-kernel via the segment matmul — feeding the
@@ -283,6 +289,9 @@ def _render_loss_kernel(
     else:
         emb_ref, vemb_ref, aux_ref, tgt_ref = args[:4]
         refs = args[4:]
+    gct_ref = None
+    if ext_ct:
+        gct_ref, refs = refs[0], refs[1:]
     n_c = 4 if encode else 0  # fourier-encoder consts (E0, S, PHASE, MASK)
     crefs, refs = refs[:n_c], refs[n_c:]
     n_out = 3 if input_grads else 2
@@ -394,21 +403,38 @@ def _render_loss_kernel(
         return
 
     # ---- loss + composite backward ----
-    # d loss/d rgb_map = loss_scale * 2 * err  (sqerr is channel-summed)
-    g_perray = loss_scale * 2.0 * err  # [R, 128] lanes 0-2
-    if white_bkgd:
-        # rgb_map includes +(1-acc): d/d acc = -sum_c g_rgb_c
-        g_acc = -jnp.sum(g_perray, axis=1, keepdims=True)
+    if ext_ct:
+        # External per-ray cotangent (lanes 0-2 rgb_map, 3 acc_map,
+        # 4 depth_map). Rows outside this visit's R-slice are selected away
+        # by the segment matmul, so no live-row masking is needed; padded
+        # rays carry zero cotangent from the host.
+        gct = gct_ref[:]
+        g_perray = jnp.where(plane < 3, gct, 0.0)
+        if white_bkgd:
+            # rgb_map includes +(1-acc): d/d acc += -sum_c g_rgb_c
+            g_acc = gct[:, 3:4] - jnp.sum(g_perray, axis=1, keepdims=True)
+        else:
+            g_acc = gct[:, 3:4]
+        g_depth = gct[:, 4:5]
     else:
-        g_acc = jnp.zeros_like(acc_col)
+        # d loss/d rgb_map = loss_scale * 2 * err (sqerr is channel-summed)
+        g_perray = loss_scale * 2.0 * err  # [R, 128] lanes 0-2
+        if white_bkgd:
+            # rgb_map includes +(1-acc): d/d acc = -sum_c g_rgb_c
+            g_acc = -jnp.sum(g_perray, axis=1, keepdims=True)
+        else:
+            g_acc = jnp.zeros_like(acc_col)
+        g_depth = jnp.zeros_like(acc_col)
     g_packed = jnp.where(
-        plane < 3, g_perray, jnp.where(plane == 3, g_acc, 0.0)
+        plane < 3, g_perray,
+        jnp.where(plane == 3, g_acc, jnp.where(plane == 4, g_depth, 0.0)),
     )
     g_row = _mm(seg, g_packed)  # [B, 128] broadcast to rows
 
-    # dL/dw_b = sum_c g_rgb_c*rgb_c + g_acc (+ g_depth*z, zero here)
+    # dL/dw_b = sum_c g_rgb_c*rgb_c + g_acc + g_depth*z_b
     dldw_terms = jnp.where(
-        lane < 3, g_row * rgb, jnp.where(lane == 3, g_row, 0.0)
+        lane < 3, g_row * rgb,
+        jnp.where(lane == 3, g_row, jnp.where(lane == 4, g_row * z, 0.0)),
     )
     dldw = jnp.sum(dldw_terms, axis=1, keepdims=True)  # [B,1]
 
@@ -478,8 +504,16 @@ def fused_render_pass(
     directions: jnp.ndarray = None,
     need_input_grads: bool = False,
     need_param_grads: bool = True,
+    perray_ct: jnp.ndarray = None,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
+
+    ``perray_ct`` [N, 5] switches the reverse sweep to an EXTERNAL per-ray
+    cotangent (d loss/d rgb_map lanes 0-2, d/d acc_map lane 3, d/d
+    depth_map lane 4) instead of the in-kernel MSE — the backward half of
+    the differentiable-outputs mode (losses the kernel can't express, e.g.
+    MultiRes' pyramid-reconstruction term). target/loss_scale are ignored
+    and the returned sqerr is meaningless in this mode.
 
     Args:
       pts_emb [N, S, in_ch] pre-embedded positions, OR pts [N, S, 3] raw
@@ -513,22 +547,25 @@ def fused_render_pass(
     P = Np * S
 
     def embed_consts():
+        # nf == -1 (identity embedder, multires level 3) is numerically
+        # nf == 0: identity columns only (ops/embedding.py:45-48).
+        nfp = max(cfg.nf_pts, 0)
         if times is not None:
             # Time-conditioned field: per-ray frame time rides lane 3; the
             # combined constants emit [embed(xyz) | embed(t)] in one
             # matmul+sin.
             return tuple(
                 jnp.asarray(c)
-                for c in build_embed_consts_xt(cfg.nf_pts, cfg.nf_time)
+                for c in build_embed_consts_xt(nfp, max(cfg.nf_time, 0))
             )
-        return tuple(jnp.asarray(c) for c in build_embed_consts(cfg.nf_pts, 3))
+        return tuple(jnp.asarray(c) for c in build_embed_consts(nfp, 3))
 
     from_rays = origins is not None
     if from_rays:
         # Preferred TPU path: only PER-RAY [Np, 8] origin/direction blocks
         # enter the kernel; pts = o + d*z is computed in-kernel from the
         # aux z lane (the [P, 8] raw-points stream never exists).
-        assert pts is None and pts_emb is None and cfg.nf_pts >= 0
+        assert pts is None and pts_emb is None
         o8 = jnp.zeros((Np, 8), jnp.float32).at[:, :3].set(pad_rays(origins))
         d8 = jnp.zeros((Np, 8), jnp.float32).at[:, :3].set(pad_rays(directions))
         if times is not None:
@@ -536,7 +573,7 @@ def fused_render_pass(
         emb_in = (o8, d8)
         consts = embed_consts()
     elif pts is not None:
-        assert pts_emb is None and cfg.nf_pts >= 0
+        assert pts_emb is None
         x = pad_rays(pts).reshape(P, 3)
         emb_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(x)
         if times is not None:
@@ -574,8 +611,15 @@ def fused_render_pass(
     if need_input_grads:
         assert len(consts) > 0, "input grads need the in-kernel encode"
         assert need_param_grads, "input grads ride the reverse sweep"
+    if perray_ct is not None:
+        assert need_param_grads, "external cotangent drives the reverse sweep"
+        gct_p = jnp.zeros((Np, 128), jnp.float32).at[:N, :5].set(
+            perray_ct.astype(jnp.float32)
+        )
+    else:
+        gct_p = None
     outs = _render_pass_call(
-        tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p,
+        tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p, gct_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
@@ -603,13 +647,14 @@ def fused_render_pass(
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
-                                   18, 19))
-def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
-                      S, R, white_bkgd, loss_scale, interpret, remat=True,
-                      act="relu", rgb_relu=False, from_rays=False,
+                   static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                   18, 19, 20))
+def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
+                      skip, W, S, R, white_bkgd, loss_scale, interpret,
+                      remat=True, act="relu", rgb_relu=False, from_rays=False,
                       input_grads=False, param_grads=True):
     encode = len(consts) > 0
+    ext_ct = gct_p is not None
     P = aux_p.shape[0]
     B = R * S
     Np = P // S
@@ -642,13 +687,15 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
     else:
         emb_specs = [_rows_spec(B, 8 if encode else 128)]  # raw pts or rows
 
+    ct_in = (gct_p,) if ext_ct else ()
+    ct_specs = [ray_spec] if ext_ct else []
     outs = pl.pallas_call(
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
             white_bkgd=white_bkgd, loss_scale=loss_scale, rev=rev,
             encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
             from_rays=from_rays, input_grads=input_grads,
-            param_grads=param_grads,
+            param_grads=param_grads, ext_ct=ext_ct,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),
@@ -658,11 +705,12 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, D, skip, W,
             _rows_spec(B, 8),
             ray_spec,
         ]
+        + ct_specs
         + _const_specs(list(consts))
         + _const_specs(list(flat)),
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(*emb_in, vemb_p, aux_p, tgt_p, *consts, *flat)
+    )(*emb_in, vemb_p, aux_p, tgt_p, *ct_in, *consts, *flat)
     return outs
 
 

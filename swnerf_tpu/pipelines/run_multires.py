@@ -209,11 +209,106 @@ def save_multires_ckpt(args, kind, params_all, opt_states, i):
     print("Saved checkpoints at", path)
 
 
-def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far, mesh=None):
+def supports_fused_phase2(field, rcfg) -> bool:
+    """A level is fused-phase-2-capable: DirectTemporalNeRF in the kernel
+    shape family (fourier OR identity embeds — level 3's (-1,-1,-1)
+    channels), single pass (the joint patch step uses no fine pass)."""
+    from swnerf_tpu.ops.pallas.raymarch import supports_config, supports_time_net
+
+    cfg = getattr(field, "cfg", None)
+    if cfg is None or not hasattr(cfg, "zero_canonical"):
+        return False
+    return (
+        supports_config(cfg)
+        and supports_time_net(cfg)
+        and cfg.i_embed in (0, -1)
+        and rcfg.n_importance == 0
+    )
+
+
+def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
+                     mesh=None, fused=None):
     """One jitted joint step: render every level's patch, per-level MSE vs
     its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
-    patch, a single grad over ALL level params, per-level Adam updates."""
+    patch, a single grad over ALL level params, per-level Adam updates.
+
+    ``fused`` (default: auto — TPU product path, or
+    SWNERF_FUSED_STEP=force-interpret): each level's render runs as ONE
+    forward-only fused kernel and ONE external-cotangent backward kernel
+    (train/fused_step.py make_render_outputs) with the deformation net as
+    its own fused kernel — the pyramid-reconstruction term keeps real
+    gradients through the kernels' rgb outputs. Not combinable with a mesh
+    (Mosaic custom calls aren't GSPMD-partitionable; the mesh path keeps
+    the autodiff step, which the sharded equivalence test pins)."""
+    import os
+
     L = len(fields)
+    interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
+    if fused is None:
+        fused = all(supports_fused_phase2(f, rcfg) for f in fields) and (
+            interp
+            or (
+                mesh is None
+                and jax.devices()[0].platform == "tpu"
+                and os.environ.get("SWNERF_FUSED", "1") != "0"
+                and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+                and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+            )
+        )
+    fused = fused and mesh is None
+
+    if fused:
+        from swnerf_tpu.ops.embedding import positional_encoding
+        from swnerf_tpu.ops.pallas.raymarch import fused_time_net
+        from swnerf_tpu.train.fused_step import _dists_scaled, make_render_outputs
+
+        cdt = jnp.float32 if interp else jnp.bfloat16
+        tile = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+        render_outs = [
+            make_render_outputs(f.cfg, rcfg.white_bkgd, tile=tile,
+                                interpret=interp, compute_dtype=cdt)
+            for f in fields
+        ]
+
+        def fused_rgb(l, params_l, rays, rng):
+            """EXACT render_rays semantics for the n_importance==0 path
+            (render/core.py:104,130-137): same key split, same stratified
+            z, same noise stream — one fused kernel + the deformation
+            kernel instead of field-apply + XLA composite."""
+            cfg_l = fields[l].cfg
+            k_jit, k_noise0, _k_pdf, _k_noise1 = jax.random.split(rng, 4)
+            from swnerf_tpu.ops.sampling import sample_along_rays
+
+            z = sample_along_rays(
+                k_jit, rays.near, rays.far, rcfg.n_samples, rcfg.perturb,
+                rcfg.lindisp,
+            )
+            pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
+            tb = jnp.broadcast_to(rays.times[..., None, :], pts.shape[:-1] + (1,))
+            pe = positional_encoding(pts, cfg_l.nf_pts)
+            te = positional_encoding(tb, cfg_l.nf_time)
+            if interp:
+                from swnerf_tpu.models.dnerf import apply_time_net
+
+                dx = apply_time_net(params_l["time_net"], cfg_l, pe, te)
+            else:
+                dx = fused_time_net(
+                    params_l["time_net"], cfg_l,
+                    jax.lax.stop_gradient(pe), jax.lax.stop_gradient(te),
+                    compute_dtype=cdt, need_input_grads=False,
+                )
+            if cfg_l.zero_canonical:
+                dx = jnp.where(tb == 0.0, jnp.zeros_like(dx), dx)
+            vd_emb = positional_encoding(rays.viewdirs, cfg_l.nf_views)
+            if rcfg.raw_noise_std > 0.0:
+                noise = jax.random.normal(k_noise0, z.shape) * rcfg.raw_noise_std
+            else:
+                noise = jnp.zeros(z.shape)
+            out = render_outs[l](
+                params_l["canonical"], pts + dx, vd_emb, z,
+                _dists_scaled(z, rays.directions), noise,
+            )
+            return out["rgb"]
 
     def loss_fn(params_all, pixels_all, targets_all, target_full, poses_all, t, gw, rng):
         total = 0.0
@@ -225,11 +320,15 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far, 
             rays_o, rays_d = get_rays_at(pixels_all[l], int(H_l), int(W_l), float(focal_l), poses_all)
             times = jnp.full((ps * ps, 1), t, jnp.float32)
             rays = build_rays(rays_o, rays_d, near, far, use_viewdirs=rcfg.use_viewdirs, times=times)
-            out = render_rays(
-                fields[l], params_all[l]["coarse"], rays, rcfg, rng=rng,
-                fine_params=params_all[l]["fine"],
-            )
-            rgb = out["rgb"].reshape(ps, ps, 3)
+            if fused:
+                rgb = fused_rgb(l, params_all[l]["coarse"], rays, rng).reshape(ps, ps, 3)
+                out = {}
+            else:
+                out = render_rays(
+                    fields[l], params_all[l]["coarse"], rays, rcfg, rng=rng,
+                    fine_params=params_all[l]["fine"],
+                )
+                rgb = out["rgb"].reshape(ps, ps, 3)
             img_loss = mse(rgb, targets_all[l])
             total = total + img_loss
             metrics[f"loss_layer_{l}"] = img_loss

@@ -242,6 +242,69 @@ def make_fused_train_step(
 
 
 # ---------------------------------------------------------------------------
+# Differentiable fused render outputs (external-cotangent backward)
+# ---------------------------------------------------------------------------
+
+
+def make_render_outputs(ccfg, white_bkgd: bool, tile: int = 8,
+                        interpret: bool = False,
+                        compute_dtype=jnp.bfloat16, remat: bool = True):
+    """A render pass as a differentiable function of (params, positions):
+
+        (params_canon, pts, vd_emb, z, dists, noise)
+            -> dict(rgb, acc, depth, weights)
+
+    Forward: ONE forward-only fused kernel (composite in-kernel). Backward:
+    ONE external-cotangent kernel (ops/pallas/render_fused.py ``perray_ct``)
+    that recomputes the forward in-VMEM and reverses with the caller's
+    d loss/d {rgb, acc, depth} — the mode for objectives the kernel cannot
+    express in-kernel (MultiRes' pyramid-reconstruction MSE, or any custom
+    loss on the rendered maps). ``weights`` is zero-tangent (consumers
+    detach it for importance sampling, reference run.py:398), as are
+    vd_emb/z/dists/noise (non-trainable inputs)."""
+
+    @jax.custom_vjp
+    def render_out(params_canon, pts, vd_emb, z, dists, noise):
+        res, _ = fused_render_pass(
+            params_canon, ccfg, None, vd_emb, z, dists, noise,
+            jnp.zeros((z.shape[0], 3)), white_bkgd, 0.0, rays_per_tile=tile,
+            interpret=interpret, compute_dtype=compute_dtype, pts=pts,
+            remat=remat, need_param_grads=False,
+        )
+        return {k: res[k] for k in ("rgb", "acc", "depth", "weights")}
+
+    def fwd(params_canon, pts, vd_emb, z, dists, noise):
+        return (
+            render_out(params_canon, pts, vd_emb, z, dists, noise),
+            (params_canon, pts, vd_emb, z, dists, noise),
+        )
+
+    def bwd(resid, ct):
+        params_canon, pts, vd_emb, z, dists, noise = resid
+        perray_ct = jnp.concatenate(
+            [ct["rgb"], ct["acc"][:, None], ct["depth"][:, None]], -1
+        )
+        res, grads = fused_render_pass(
+            params_canon, ccfg, None, vd_emb, z, dists, noise,
+            jnp.zeros((z.shape[0], 3)), white_bkgd, 0.0, rays_per_tile=tile,
+            interpret=interpret, compute_dtype=compute_dtype, pts=pts,
+            remat=remat, need_input_grads=True, need_param_grads=True,
+            perray_ct=perray_ct,
+        )
+        return (
+            grads,
+            res["dx8"][..., :3],
+            jnp.zeros_like(vd_emb),
+            jnp.zeros_like(z),
+            jnp.zeros_like(dists),
+            jnp.zeros_like(noise),
+        )
+
+    render_out.defvjp(fwd, bwd)
+    return render_out
+
+
+# ---------------------------------------------------------------------------
 # D-NeRF: fused canonical passes composed under jax.grad
 # ---------------------------------------------------------------------------
 

@@ -155,6 +155,76 @@ class TestMultiResPipeline:
                 sds["par"][k], sds["single"][k], atol=2e-5, err_msg=k
             )
 
+    def test_fused_phase2_matches_autodiff(self, monkeypatch):
+        """The fused joint patch step (forward-only kernel + external-
+        cotangent backward kernel per level + fused deformation net,
+        make_phase2_step fused=True) reproduces the autodiff step's
+        parameter updates — including an identity-embed (-1) level and the
+        pyramid-reconstruction global term's gradients through the kernels'
+        rgb outputs."""
+        import argparse
+
+        import jax
+        import optax
+
+        from swnerf_tpu.models import DNeRFConfig, make_dnerf_field
+        from swnerf_tpu.pipelines.run_multires import (
+            make_phase2_step, supports_fused_phase2,
+        )
+        from swnerf_tpu.render import RenderConfig
+        from swnerf_tpu.train import make_optimizer
+
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        L = 2
+        cfgs = [
+            DNeRFConfig(netdepth=3, netwidth=128, skips=(1,), multires=4,
+                        multires_views=2, multires_time=2),
+            DNeRFConfig(netdepth=3, netwidth=128, skips=(1,), multires=-1,
+                        multires_views=-1, multires_time=-1, i_embed=-1),
+        ]
+        fields = [make_dnerf_field(c, fused=False) for c in cfgs]
+        rcfg = RenderConfig(n_samples=4, n_importance=0, perturb=1.0,
+                            raw_noise_std=1.0, white_bkgd=True)
+        assert all(supports_fused_phase2(f, rcfg) for f in fields)
+        params_all = [
+            {"coarse": f.init(jax.random.PRNGKey(i)), "fine": None}
+            for i, f in enumerate(fields)
+        ]
+        opts = [make_optimizer() for _ in range(L)]
+        opt_states = [o.init(p) for o, p in zip(opts, params_all)]
+        pyr_hwf = [[16, 16, 14.0], [8, 8, 7.0]]
+        patch_sizes = [4, 2]
+        args = argparse.Namespace()
+
+        rng = np.random.default_rng(0)
+        pixels_all, targets_all = [], []
+        for ps in patch_sizes:
+            ys, xs = np.meshgrid(np.arange(ps), np.arange(ps), indexing="ij")
+            pixels_all.append(jnp.asarray(np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)))
+            targets_all.append(jnp.asarray(rng.uniform(0, 1, (ps, ps, 3)).astype(np.float32)))
+        target_full = targets_all[0]
+        pose = jnp.asarray(np.eye(4, dtype=np.float32)[:3, :4].copy())
+        key = jax.random.PRNGKey(3)
+
+        outs = {}
+        for tag, fused in (("fused", True), ("auto", False)):
+            step = make_phase2_step(args, fields, opts, rcfg, pyr_hwf,
+                                    patch_sizes, 2.0, 6.0, fused=fused)
+            # Fresh copies per run: the step donates params/opt_states.
+            np_, ns_, metrics = step(
+                jax.tree.map(lambda x: jnp.asarray(x) + 0, params_all),
+                jax.tree.map(lambda x: jnp.asarray(x) + 0, opt_states),
+                pixels_all, targets_all, target_full, pose,
+                jnp.float32(0.5), jnp.float32(1.0), key,
+            )
+            outs[tag] = (np_, {k: float(v) for k, v in metrics.items()})
+
+        mf, ma = outs["fused"][1], outs["auto"][1]
+        for k in ma:
+            assert abs(mf[k] - ma[k]) < 1e-4 * max(1.0, abs(ma[k])), (k, mf[k], ma[k])
+        for a, b in zip(jax.tree.leaves(outs["fused"][0]), jax.tree.leaves(outs["auto"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
     def test_identity_level_channels(self):
         """Level 3 of the channel list is the identity embedder: first layer
         consumes raw (x) 3 dims + time 1 dim."""
