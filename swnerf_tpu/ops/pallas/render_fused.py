@@ -124,15 +124,19 @@ def _layer_fwd(emb, h_prev, ws_i, i: int, skip: int, act: str):
 
 
 def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
-                    remat: bool = True, act: str = "relu"):
+                    remat: bool = True, act: str = "relu",
+                    store_stride: int = 2, store: bool = True):
     """Like raymarch._trunk_forward but returns the VMEM-resident caches the
     reverse sweep needs. VMEM economy (the fine pass tiles R rays x 192
     samples; a full activation cache can blow the ~16 MB budget): with
-    ``remat`` only ODD-indexed post-relu activations (+ the last) are kept —
-    the reverse sweep recomputes each even layer from its stored predecessor
-    (one extra matmul per even layer, ~6% MXU) — and feat/hv are recomputed
-    rather than cached. ``remat=False`` stores every layer (preferred when
-    the tile is small enough to fit)."""
+    ``remat`` only every ``store_stride``-th post-activation (+ the last) is
+    kept — the reverse sweep recomputes the gaps from the nearest stored
+    predecessor (memoized, so each skipped layer recomputes once) — and
+    feat/hv are recomputed rather than cached. ``remat=False`` stores every
+    layer (preferred when the tile is small enough to fit); stride 3-4
+    trades ~1 recompute matmul per gap layer for the VMEM that unlocks
+    bigger ray tiles. ``store=False`` (forward-only mode: eval passes, the
+    external-cotangent forward) keeps NOTHING — no reverse sweep will run."""
     cdt = emb.dtype
     hs, ws = {}, []
     h = None
@@ -146,7 +150,9 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
             z = _mm(emb if i == 0 else h, w) + b
             ws.append((w, b))
         h = _act_fwd(z, act).astype(cdt)
-        if (not remat) or i % 2 == 1 or i == D - 1:
+        if store and (
+            (not remat) or i % store_stride == store_stride - 1 or i == D - 1
+        ):
             hs[i] = h
 
     fa_w, fa_b = nxt(), nxt()
@@ -179,9 +185,14 @@ def _trunk_reverse(emb, vemb, g, cache, D: int, skip: int, W: int,
     fa_w, w_vf, w_vv, w_rgb = cache["fa_w"], cache["w_vf"], cache["w_vv"], cache["w_rgb"]
 
     def h_at(i):
+        # Memoized gap recompute: with store_stride > 2 the nearest stored
+        # activation may be several layers back; each skipped layer is
+        # recomputed exactly once and cached for the remaining sweep.
         if i in stored:
             return stored[i]
-        return _layer_fwd(emb, stored[i - 1] if i else None, ws[i], i, skip, act)
+        h = _layer_fwd(emb, h_at(i - 1) if i else None, ws[i], i, skip, act)
+        stored[i] = h
+        return h
 
     if "feat" in cache:
         feat, hv = cache["feat"], cache["hv"]
@@ -258,7 +269,7 @@ def _render_loss_kernel(
     D: int, skip: int, W: int, S: int, white_bkgd: bool, loss_scale: float,
     rev: int, encode: bool, remat: bool, act: str, rgb_relu: bool,
     from_rays: bool = False, input_grads: bool = False,
-    param_grads: bool = True, ext_ct: bool = False,
+    param_grads: bool = True, ext_ct: bool = False, store_stride: int = 2,
 ):
     """One tile = R whole rays x S samples. Leading refs are either
     (emb, vemb, aux, tgt) or, with ``from_rays``, (o8, d8, vemb, aux, tgt);
@@ -340,8 +351,10 @@ def _render_loss_kernel(
     vemb = _mm(seg, vemb_ref[:]).astype(cdt)
 
     nxt = _ref_iter(wrefs)
-    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(emb, vemb, nxt, D, skip, W,
-                                                   remat=remat, act=act)
+    rgb_logits, sigma_raw, cache = _trunk_fwd_keep(
+        emb, vemb, nxt, D, skip, W, remat=remat, act=act,
+        store_stride=store_stride, store=param_grads,
+    )
 
     # ---- composite forward (raw2outputs, ray.py:155-198) ----
     sigma = sigma_raw + noise
@@ -505,6 +518,7 @@ def fused_render_pass(
     need_input_grads: bool = False,
     need_param_grads: bool = True,
     perray_ct: jnp.ndarray = None,
+    store_stride: int = None,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -618,12 +632,17 @@ def fused_render_pass(
         )
     else:
         gct_p = None
+    if store_stride is None:
+        import os
+
+        store_stride = int(os.environ.get("SWNERF_FUSED_STRIDE", "2"))
     outs = _render_pass_call(
         tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p, gct_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
         from_rays, bool(need_input_grads), bool(need_param_grads),
+        int(store_stride),
     )
     n_out = 3 if need_input_grads else 2
     perray, wout = outs[len(outs) - n_out], outs[len(outs) - n_out + 1]
@@ -648,11 +667,11 @@ def fused_render_pass(
 
 @functools.partial(jax.jit,
                    static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
-                                   18, 19, 20))
+                                   18, 19, 20, 21))
 def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
                       skip, W, S, R, white_bkgd, loss_scale, interpret,
                       remat=True, act="relu", rgb_relu=False, from_rays=False,
-                      input_grads=False, param_grads=True):
+                      input_grads=False, param_grads=True, store_stride=2):
     encode = len(consts) > 0
     ext_ct = gct_p is not None
     P = aux_p.shape[0]
@@ -696,6 +715,7 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
             encode=encode, remat=remat, act=act, rgb_relu=rgb_relu,
             from_rays=from_rays, input_grads=input_grads,
             param_grads=param_grads, ext_ct=ext_ct,
+            store_stride=store_stride,
         ),
         out_shape=tuple(out_shapes),
         grid=(n_tiles,),

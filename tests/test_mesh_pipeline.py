@@ -52,6 +52,65 @@ class TestMarchingTetrahedra:
         assert abs(np.linalg.norm(v2, axis=1).mean() - 0.4) < 0.05
         assert abs(np.linalg.norm(v1, axis=1).mean() - 0.6) < 0.05
 
+    def test_torus_surface_deviation(self):
+        """Analytic-shape sweep beyond the sphere (skimage marching_cubes
+        delta, reference extract_mesh.py:97-105): torus SDF — every vertex
+        within one cell of the true surface; genus-1 topology preserved
+        (V - E + F == 0)."""
+        R, r, res, extent = 0.6, 0.25, 40, 1.0
+        x = np.linspace(-extent, extent, res)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        q = np.sqrt(X**2 + Y**2) - R
+        sdf = np.sqrt(q**2 + Z**2) - r  # <0 inside
+        spacing = (x[1] - x[0],) * 3
+        verts, faces = marching_tetrahedra(-sdf, 0.0, spacing, (-extent,) * 3)
+        assert len(faces) > 500
+        qv = np.sqrt(verts[:, 0] ** 2 + verts[:, 1] ** 2) - R
+        dev = np.abs(np.sqrt(qv**2 + verts[:, 2] ** 2) - r)
+        assert dev.max() < 2 * spacing[0]
+        assert dev.mean() < 0.35 * spacing[0]
+        # Euler characteristic of a closed genus-1 surface is 0.
+        edges = np.unique(
+            np.sort(
+                np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+                axis=1,
+            ),
+            axis=0,
+        )
+        assert len(verts) - len(edges) + len(faces) == 0
+
+    def test_box_surface_deviation(self):
+        """Axis-aligned box SDF: vertices within a cell of the true faces,
+        extents recovered, Euler characteristic 2 (sphere topology)."""
+        h = np.array([0.55, 0.4, 0.3])
+        res, extent = 36, 1.0
+        x = np.linspace(-extent, extent, res)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        p = np.stack([X, Y, Z], -1)
+        q = np.abs(p) - h
+        sdf = np.linalg.norm(np.maximum(q, 0.0), axis=-1) + np.minimum(
+            q.max(-1), 0.0
+        )
+        spacing = (x[1] - x[0],) * 3
+        verts, faces = marching_tetrahedra(-sdf, 0.0, spacing, (-extent,) * 3)
+        assert len(faces) > 500
+        qv = np.abs(verts) - h
+        dev = np.abs(
+            np.linalg.norm(np.maximum(qv, 0.0), axis=-1) + np.minimum(qv.max(-1), 0.0)
+        )
+        assert dev.max() < 2 * spacing[0]
+        # Recovered extents match the analytic box within a cell.
+        np.testing.assert_allclose(verts.max(0), h, atol=1.5 * spacing[0])
+        np.testing.assert_allclose(verts.min(0), -h, atol=1.5 * spacing[0])
+        edges = np.unique(
+            np.sort(
+                np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+                axis=1,
+            ),
+            axis=0,
+        )
+        assert len(verts) - len(edges) + len(faces) == 2
+
 
 class TestObjIO:
     def test_roundtrip_with_colors(self, tmp_path):
