@@ -247,16 +247,18 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
         if use_fused and supports_time_net(cfg):
             import os
 
-            from swnerf_tpu.ops.pallas.raymarch import fused_time_net
+            from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
 
             cdt = (
                 jnp.bfloat16
                 if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
                 else jnp.float32
             )
-            dx = fused_time_net(
+            # Encode in-kernel (raymarch.fused_time_net_pts): the [P, L]
+            # embedding stream never exists.
+            dx = fused_time_net_pts(
                 params["time_net"], cfg,
-                jax.lax.stop_gradient(pts_emb), jax.lax.stop_gradient(time_emb),
+                jax.lax.stop_gradient(pts), jax.lax.stop_gradient(t),
                 compute_dtype=cdt, need_input_grads=False,
             )
         else:

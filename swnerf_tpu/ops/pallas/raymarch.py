@@ -152,14 +152,15 @@ def build_embed_consts_xt(num_freqs_pos: int, num_freqs_time: int):
     fields: x8 carries [x, y, z, t] in lanes 0-3 and ONE matmul+sin produces
     [embed(xyz) | embed(t)] — the packed T-NeRF input layout
     (t_nerf/run_tnerf.py:33-41 embeds pos and time separately then
-    concatenates)."""
+    concatenates). Lane width grows in 128-blocks when the combined
+    embedding exceeds one block (multires level 0: 123 + 17 = 140)."""
     dpos = 3 + 6 * num_freqs_pos
     dtime = 1 + 2 * num_freqs_time
-    assert dpos + dtime <= 128
-    E0 = np.zeros((8, 128), np.float32)
-    S = np.zeros((8, 128), np.float32)
-    PHASE = np.zeros((1, 128), np.float32)
-    MASK = np.zeros((1, 128), np.float32)
+    L = max(128, _round_up(dpos + dtime, 128))
+    E0 = np.zeros((8, L), np.float32)
+    S = np.zeros((8, L), np.float32)
+    PHASE = np.zeros((1, L), np.float32)
+    MASK = np.zeros((1, L), np.float32)
     for a in range(3):
         E0[a, a] = 1.0
     for i in range(num_freqs_pos):
@@ -501,6 +502,52 @@ def _bwd_kernel_plain(emb_ref, g_ref, *refs, D: int, skip: int, W: int,
     demb_ref[:] = demb
 
 
+def _fwd_kernel_plain_raw(x8_ref, *refs, D: int, skip: int, W: int,
+                          act: str = "relu", rgb_relu: bool = False):
+    """Plain-head (deformation MLP) forward with the [embed(xyz)|embed(t)]
+    encode in-kernel: x8 lanes 0-2 position, lane 3 time; 4 xt consts lead
+    the refs. The [P, L] embedding stream never exists in HBM."""
+    del rgb_relu
+    out_ref = refs[-1]
+    consts = [r[:] for r in refs[:4]]
+    nxt = _ref_iter(refs[4:-1])
+    cdt = refs[4].dtype
+    emb = _embed_fwd(x8_ref[:], *consts).astype(cdt)
+    out_ref[:] = _trunk_forward(emb, emb, nxt, D, skip, W, plain_head=True, act=act)
+
+
+def _bwd_kernel_plain_raw(x8_ref, g_ref, *refs, D: int, skip: int, W: int,
+                          act: str = "relu", rgb_relu: bool = False,
+                          need_din: bool = True):
+    del rgb_relu
+    consts = [r[:] for r in refs[:4]]
+    rest = refs[4:]
+    n_w = (len(rest) - 1) // 2
+    wrefs = rest[:n_w]
+    grefs = rest[n_w:-1]
+    dx_ref = rest[-1]
+    cdt = wrefs[0].dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
+
+    x8 = x8_ref[:]
+    emb = _embed_fwd(x8, *consts).astype(cdt)
+    nxt = _ref_iter(wrefs)
+    grads, demb, _ = _trunk_backward(
+        emb, emb, g_ref[:], nxt, D, skip, W, plain_head=True, act=act,
+        need_din=need_din,
+    )
+    for r, gval in zip(grefs, grads):
+        r[:] += gval.astype(r.dtype)
+    if need_din:
+        dx_ref[:] = _embed_bwd(x8, demb, *consts)
+    else:
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+
 # ---------------------------------------------------------------------------
 # Kernels: raw-input variant (embedding fused inside)
 # ---------------------------------------------------------------------------
@@ -768,6 +815,75 @@ def fused_time_net(
         need_input_grads,
     )
     return out[:n, :3].reshape(*lead, 3)
+
+
+def fused_time_net_pts(
+    tp,
+    cfg,
+    pts: jnp.ndarray,
+    times: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+    need_input_grads: bool = False,
+) -> jnp.ndarray:
+    """Deformation MLP with the encode IN-KERNEL: raw pts [..., 3] +
+    per-point times [..., 1] -> dx [..., 3]. Replaces fused_time_net's
+    XLA-side positional_encoding producers and their [P, L] embedding
+    stream with a [P, 8] x8 stream (16-32x less input traffic; the backward
+    kernel's residual shrinks the same way). Differentiable in tp;
+    positions/times are treated as detached (the deformation field's inputs
+    are stop-gradient in every training path, models/dnerf.py)."""
+    lead = pts.shape[:-1]
+    p3 = pts.reshape(-1, 3)
+    t1 = jnp.broadcast_to(times, pts.shape[:-1] + (1,)).reshape(-1, 1)
+    n = p3.shape[0]
+    P = _round_up(max(n, block), block)
+    x8 = (
+        jnp.zeros((P, 8), jnp.float32)
+        .at[:n, :3].set(p3)
+        .at[:n, 3].set(t1[:, 0])
+    )
+    consts = tuple(
+        jnp.asarray(c)
+        for c in build_embed_consts_xt(max(cfg.nf_pts, 0), max(cfg.nf_time, 0))
+    )
+    flat, meta = pack_time_params(tp, cfg, dtype=compute_dtype)
+    out = _plain_raw_call(
+        tuple(flat), x8, consts, meta["D"], meta["skip"], meta["W"], block,
+        interpret, need_input_grads,
+    )
+    return out[:n, :3].reshape(*lead, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din=False):
+    meta = {"D": D, "skip": skip, "W": W}
+    P = x8.shape[0]
+    return _run_fwd(
+        _fwd_kernel_plain_raw, [x8], list(consts), list(flat), meta, block,
+        interpret, P,
+    )
+
+
+def _plain_raw_call_fwd(flat, x8, consts, D, skip, W, block, interpret, need_din):
+    out = _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din)
+    return out, (flat, x8, consts)
+
+
+def _plain_raw_call_bwd(D, skip, W, block, interpret, need_din, res, g):
+    flat, x8, consts = res
+    meta = {"D": D, "skip": skip, "W": W, "need_din": need_din}
+    P = x8.shape[0]
+    dflat, (dx8,) = _run_bwd(
+        _bwd_kernel_plain_raw, [x8], g, list(consts), list(flat), meta, block,
+        interpret, P, din_lanes=[8],
+    )
+    dconsts = jax.tree.map(jnp.zeros_like, consts)
+    return tuple(dflat), dx8, dconsts
+
+
+_plain_raw_call.defvjp(_plain_raw_call_fwd, _plain_raw_call_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))

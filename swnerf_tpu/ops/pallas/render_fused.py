@@ -708,6 +708,15 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
 
     ct_in = (gct_p,) if ext_ct else ()
     ct_specs = [ray_spec] if ext_ct else []
+    # Mosaic's default VMEM budget is conservative; SWNERF_FUSED_VMEM_MB
+    # raises the cap (validated-by-running — an over-ask fails at compile,
+    # not silently).
+    import os
+
+    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "0"))
+    cparams = None
+    if vmem_mb > 0:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
     outs = pl.pallas_call(
         functools.partial(
             _render_loss_kernel, D=D, skip=skip, W=W, S=S,
@@ -730,6 +739,7 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
         + _const_specs(list(flat)),
         out_specs=tuple(out_specs),
         interpret=interpret,
+        **({"compiler_params": cparams} if cparams is not None else {}),
     )(*emb_in, vemb_p, aux_p, tgt_p, *ct_in, *consts, *flat)
     return outs
 

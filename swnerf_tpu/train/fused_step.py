@@ -363,7 +363,7 @@ def make_fused_dnerf_step(
 
     from swnerf_tpu.models.dnerf import apply_time_net
     from swnerf_tpu.ops.embedding import embedding_dim
-    from swnerf_tpu.ops.pallas.raymarch import fused_time_net
+    from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
 
     if rays_per_tile_coarse is None:
         rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
@@ -446,14 +446,16 @@ def make_fused_dnerf_step(
         """Deformation dx at pts for per-ray time tval [N, 1] (differentiable
         in tp; positions/time enter detached as in the field)."""
         tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
-        pe = positional_encoding(pts, ccfg.nf_pts)
-        te = positional_encoding(tb, ccfg.nf_time)
         if interpret:
+            pe = positional_encoding(pts, ccfg.nf_pts)
+            te = positional_encoding(tb, ccfg.nf_time)
             dx = apply_time_net(tp, ccfg, pe, te)
         else:
-            dx = fused_time_net(
-                tp, ccfg,
-                jax.lax.stop_gradient(pe), jax.lax.stop_gradient(te),
+            # Encode IN-KERNEL: the [P, L] embedding stream and its XLA
+            # producers disappear (raymarch.fused_time_net_pts).
+            dx = fused_time_net_pts(
+                tp, ccfg, jax.lax.stop_gradient(pts),
+                jax.lax.stop_gradient(tb),
                 compute_dtype=compute_dtype, need_input_grads=False,
             )
         if ccfg.zero_canonical:
@@ -466,15 +468,15 @@ def make_fused_dnerf_step(
         and the TV-neighbor evaluation)."""
         tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
         tb_n = jnp.broadcast_to(tval_n[..., None, :], pts.shape[:-1] + (1,))
-        pe = positional_encoding(pts, ccfg.nf_pts)
-        te = positional_encoding(jnp.concatenate([tb, tb_n], 0), ccfg.nf_time)
-        pe2 = jnp.concatenate([pe, pe], 0)
         if interpret:
-            dx2 = apply_time_net(tp, ccfg, pe2, te)
+            pe = positional_encoding(pts, ccfg.nf_pts)
+            te = positional_encoding(jnp.concatenate([tb, tb_n], 0), ccfg.nf_time)
+            dx2 = apply_time_net(tp, ccfg, jnp.concatenate([pe, pe], 0), te)
         else:
-            dx2 = fused_time_net(
+            dx2 = fused_time_net_pts(
                 tp, ccfg,
-                jax.lax.stop_gradient(pe2), jax.lax.stop_gradient(te),
+                jax.lax.stop_gradient(jnp.concatenate([pts, pts], 0)),
+                jax.lax.stop_gradient(jnp.concatenate([tb, tb_n], 0)),
                 compute_dtype=compute_dtype, need_input_grads=False,
             )
         if ccfg.zero_canonical:

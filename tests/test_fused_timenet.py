@@ -82,3 +82,67 @@ class TestFusedTimeNet:
             fused_time_net(tp, cfg, jnp.asarray(pe), jnp.asarray(te1), block=32, interpret=True)
         )
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+
+class TestFusedTimeNetPts:
+    """In-kernel-encode variant (fused_time_net_pts): raw pts + times in,
+    [embed(x)|embed(t)] built inside the kernel."""
+
+    def _check(self, cfg, n=70, seed=0):
+        from swnerf_tpu.ops.embedding import positional_encoding
+        from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
+
+        rng = np.random.default_rng(seed)
+        tp = init_time_net_params(jax.random.PRNGKey(0), cfg)
+        pts = jnp.asarray(rng.uniform(-2, 2, (n, 4, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(0, 1, (n, 1, 1)).astype(np.float32))
+        tb = jnp.broadcast_to(t, pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, cfg.nf_pts)
+        te = positional_encoding(tb, cfg.nf_time)
+        want = np.asarray(apply_time_net(tp, cfg, pe, te))
+        got = np.asarray(
+            fused_time_net_pts(tp, cfg, pts, t, block=64, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-4)
+        return tp, pts, t, want
+
+    def test_forward_matches_jnp(self):
+        cfg, _ = _setup()
+        self._check(cfg)
+
+    def test_two_lane_block_embedding(self):
+        """MultiRes level 0 (pos 20 freqs + time 8 freqs = 140 dims) needs
+        the widened [8, 256] xt constants."""
+        cfg = DNeRFConfig(netdepth=4, netwidth=256, skips=(1,), multires=20,
+                          multires_views=20, multires_time=8)
+        assert cfg.input_ch + cfg.input_ch_time == 140
+        self._check(cfg)
+
+    def test_identity_embed(self):
+        cfg = DNeRFConfig(netdepth=4, netwidth=256, skips=(1,), i_embed=-1)
+        self._check(cfg)
+
+    def test_param_grads_match_jnp(self):
+        from swnerf_tpu.ops.embedding import positional_encoding
+        from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
+
+        cfg, tp = _setup(multires=4, D=3)
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(rng.uniform(-2, 2, (40, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(0, 1, (40, 1)).astype(np.float32))
+        tgt = jnp.asarray(rng.standard_normal((40, 3)).astype(np.float32))
+
+        def loss_jnp(p):
+            pe = positional_encoding(pts, cfg.nf_pts)
+            te = positional_encoding(t, cfg.nf_time)
+            return jnp.mean((apply_time_net(p, cfg, pe, te) - tgt) ** 2)
+
+        def loss_fused(p):
+            dx = fused_time_net_pts(p, cfg, pts, t, block=64, interpret=True)
+            return jnp.mean((dx - tgt) ** 2)
+
+        g1 = jax.grad(loss_jnp)(tp)
+        g2 = jax.grad(loss_fused)(tp)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
