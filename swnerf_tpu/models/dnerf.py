@@ -247,18 +247,16 @@ def make_dnerf_field(cfg: DNeRFConfig, fused: Optional[bool] = None) -> Field:
         if use_fused and supports_time_net(cfg):
             import os
 
-            from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
+            from swnerf_tpu.ops.pallas.raymarch import fused_time_net
 
             cdt = (
                 jnp.bfloat16
                 if os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
                 else jnp.float32
             )
-            # Encode in-kernel (raymarch.fused_time_net_pts): the [P, L]
-            # embedding stream never exists.
-            dx = fused_time_net_pts(
+            dx = fused_time_net(
                 params["time_net"], cfg,
-                jax.lax.stop_gradient(pts), jax.lax.stop_gradient(t),
+                jax.lax.stop_gradient(pts_emb), jax.lax.stop_gradient(time_emb),
                 compute_dtype=cdt, need_input_grads=False,
             )
         else:

@@ -599,12 +599,25 @@ def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int,
 # ---------------------------------------------------------------------------
 
 
+def _vmem_params():
+    """Mosaic's default VMEM budget is conservative (the v5e core has far
+    more than the 16 MB the round-1/2 notes assumed — R=8..32 render tiles
+    compile and RUN once the cap is raised). SWNERF_FUSED_VMEM_MB > 0
+    raises the per-kernel cap; an over-ask fails loudly at compile."""
+    import os
+
+    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "0"))
+    if vmem_mb > 0:
+        return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)}
+    return {}
+
+
 def _bwd_block(dtype, block: int, raw: bool = False) -> int:
     # Backward holds all D activations + grad accumulators in VMEM; fp32
     # parity mode additionally needs HIGHEST-precision multi-pass scratch.
-    # bf16 at 1024 points measured VMEM-MARGINAL (17.3M vs the 16M budget in
-    # some program contexts) while 512 -> 1024 is only a few percent faster,
-    # so 512 is the safe choice.
+    # 512 measured OPTIMAL for bf16 even with the VMEM cap raised: block
+    # 2048 backwards are ~20% SLOWER (round-3 probe — the reverse working
+    # set thrashes at big rows), so the cap is kept unconditionally.
     if dtype == jnp.float32:
         return min(block, 128)
     return min(block, 512)
@@ -636,6 +649,7 @@ def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
         + _const_specs(flat),
         out_specs=_tile_spec(block),
         interpret=interpret,
+        **_vmem_params(),
     )(*tiles, *consts, *flat)
 
 
@@ -660,6 +674,7 @@ def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lane
         + _const_specs(flat),
         out_specs=tuple(out_specs),
         interpret=interpret,
+        **_vmem_params(),
     )(*tiles, g, *consts, *flat)
     dflat = [d.astype(f.dtype) for d, f in zip(outs[: len(flat)], flat)]
     return dflat, outs[len(flat) :]

@@ -708,12 +708,13 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
 
     ct_in = (gct_p,) if ext_ct else ()
     ct_specs = [ray_spec] if ext_ct else []
-    # Mosaic's default VMEM budget is conservative; SWNERF_FUSED_VMEM_MB
-    # raises the cap (validated-by-running — an over-ask fails at compile,
-    # not silently).
+    # Mosaic's default VMEM budget is conservative (the round-1/2 "16 MB"
+    # wall); the raised default lets the rc16/rf8 product tiles compile.
+    # SWNERF_FUSED_VMEM_MB=0 restores the Mosaic default; an over-ask
+    # fails loudly at compile, not silently.
     import os
 
-    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "0"))
+    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "100"))
     cparams = None
     if vmem_mb > 0:
         cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)

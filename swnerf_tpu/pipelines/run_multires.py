@@ -259,7 +259,7 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
 
     if fused:
         from swnerf_tpu.ops.embedding import positional_encoding
-        from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
+        from swnerf_tpu.ops.pallas.raymarch import fused_time_net
         from swnerf_tpu.train.fused_step import _dists_scaled, make_render_outputs
 
         cdt = jnp.float32 if interp else jnp.bfloat16
@@ -285,16 +285,16 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
             )
             pts = rays.origins[:, None, :] + rays.directions[:, None, :] * z[..., None]
             tb = jnp.broadcast_to(rays.times[..., None, :], pts.shape[:-1] + (1,))
+            pe = positional_encoding(pts, cfg_l.nf_pts)
+            te = positional_encoding(tb, cfg_l.nf_time)
             if interp:
                 from swnerf_tpu.models.dnerf import apply_time_net
 
-                pe = positional_encoding(pts, cfg_l.nf_pts)
-                te = positional_encoding(tb, cfg_l.nf_time)
                 dx = apply_time_net(params_l["time_net"], cfg_l, pe, te)
             else:
-                dx = fused_time_net_pts(
+                dx = fused_time_net(
                     params_l["time_net"], cfg_l,
-                    jax.lax.stop_gradient(pts), jax.lax.stop_gradient(tb),
+                    jax.lax.stop_gradient(pe), jax.lax.stop_gradient(te),
                     compute_dtype=cdt, need_input_grads=False,
                 )
             if cfg_l.zero_canonical:

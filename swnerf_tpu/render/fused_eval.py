@@ -138,9 +138,7 @@ def make_dnerf_eval_pass(mcfg, interpret: bool = False,
     canonical pass on pts + dx (pts-mode in-kernel encode), forward-only.
     params trees are {"canonical": ..., "time_net": ...}."""
     from swnerf_tpu.models.dnerf import apply_time_net
-    from swnerf_tpu.ops.pallas.raymarch import (
-        fused_time_net_pts, supports_time_net,
-    )
+    from swnerf_tpu.ops.pallas.raymarch import fused_time_net, supports_time_net
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
     rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
@@ -148,14 +146,13 @@ def make_dnerf_eval_pass(mcfg, interpret: bool = False,
 
     def dx_at(tp, ccfg, pts, times):
         tb = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(tb, ccfg.nf_time)
         if interpret:
-            pe = positional_encoding(pts, ccfg.nf_pts)
-            te = positional_encoding(tb, ccfg.nf_time)
             dx = apply_time_net(tp, ccfg, pe, te)
         else:
-            dx = fused_time_net_pts(tp, ccfg, pts, tb,
-                                    compute_dtype=compute_dtype,
-                                    need_input_grads=False)
+            dx = fused_time_net(tp, ccfg, pe, te, compute_dtype=compute_dtype,
+                                need_input_grads=False)
         if ccfg.zero_canonical:
             dx = jnp.where(tb == 0.0, jnp.zeros_like(dx), dx)
         return dx

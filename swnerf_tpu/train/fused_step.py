@@ -141,12 +141,14 @@ def make_fused_train_step(
     same bits)."""
     import os
 
-    # VMEM-validated v5e defaults (benchmarks/tpu_fused_probe.py): the fine
-    # pass (S=192) only fits at small ray tiles.
+    # Round-3 v5e defaults: rc16/rf8 + the raised Mosaic VMEM cap measured
+    # fastest for the vanilla step (29.5M vs 29.1M at rc8/rf4); bigger
+    # tiles regress (benchmarks/tpu_tile_sweep.py with
+    # SWNERF_FUSED_VMEM_MB=100).
     if rays_per_tile_coarse is None:
-        rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+        rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "16"))
     if rays_per_tile_fine is None:
-        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "8"))
     # Full activation cache (remat=0) trades VMEM for ~6 fewer matmuls per
     # tile; viable at small tiles — see PERFORMANCE.md.
     remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
@@ -363,15 +365,14 @@ def make_fused_dnerf_step(
 
     from swnerf_tpu.models.dnerf import apply_time_net
     from swnerf_tpu.ops.embedding import embedding_dim
-    from swnerf_tpu.ops.pallas.raymarch import fused_time_net_pts
+    from swnerf_tpu.ops.pallas.raymarch import fused_time_net
 
     if rays_per_tile_coarse is None:
         rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
     if rays_per_tile_fine is None:
-        # The input-grads fine pass carries the demb sweep + dx8 stream on
-        # top of the vanilla kernel; S=192 at R=4 measured 1.2M over the
-        # v5e 16M VMEM budget, R=2 fits.
-        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE_DNERF", "2"))
+        # R=4 now compiles (round-3: the 16M "budget" was Mosaic's default
+        # cap) and measures fastest; R>=8 regresses (tpu_tile_sweep.py).
+        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE_DNERF", "4"))
     remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
     fine_cfg = fcfg if fcfg is not None else cfg
 
@@ -446,16 +447,18 @@ def make_fused_dnerf_step(
         """Deformation dx at pts for per-ray time tval [N, 1] (differentiable
         in tp; positions/time enter detached as in the field)."""
         tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(tb, ccfg.nf_time)
         if interpret:
-            pe = positional_encoding(pts, ccfg.nf_pts)
-            te = positional_encoding(tb, ccfg.nf_time)
             dx = apply_time_net(tp, ccfg, pe, te)
         else:
-            # Encode IN-KERNEL: the [P, L] embedding stream and its XLA
-            # producers disappear (raymarch.fused_time_net_pts).
-            dx = fused_time_net_pts(
-                tp, ccfg, jax.lax.stop_gradient(pts),
-                jax.lax.stop_gradient(tb),
+            # XLA-side encode measured FASTER than the in-kernel variant
+            # (fused_time_net_pts): the backward kernel re-runs the encode
+            # per 512-row block, which costs more than the [P, L] stream
+            # saves (PERFORMANCE.md round-3 decomposition).
+            dx = fused_time_net(
+                tp, ccfg,
+                jax.lax.stop_gradient(pe), jax.lax.stop_gradient(te),
                 compute_dtype=compute_dtype, need_input_grads=False,
             )
         if ccfg.zero_canonical:
@@ -468,15 +471,15 @@ def make_fused_dnerf_step(
         and the TV-neighbor evaluation)."""
         tb = jnp.broadcast_to(tval[..., None, :], pts.shape[:-1] + (1,))
         tb_n = jnp.broadcast_to(tval_n[..., None, :], pts.shape[:-1] + (1,))
+        pe = positional_encoding(pts, ccfg.nf_pts)
+        te = positional_encoding(jnp.concatenate([tb, tb_n], 0), ccfg.nf_time)
+        pe2 = jnp.concatenate([pe, pe], 0)
         if interpret:
-            pe = positional_encoding(pts, ccfg.nf_pts)
-            te = positional_encoding(jnp.concatenate([tb, tb_n], 0), ccfg.nf_time)
-            dx2 = apply_time_net(tp, ccfg, jnp.concatenate([pe, pe], 0), te)
+            dx2 = apply_time_net(tp, ccfg, pe2, te)
         else:
-            dx2 = fused_time_net_pts(
+            dx2 = fused_time_net(
                 tp, ccfg,
-                jax.lax.stop_gradient(jnp.concatenate([pts, pts], 0)),
-                jax.lax.stop_gradient(jnp.concatenate([tb, tb_n], 0)),
+                jax.lax.stop_gradient(pe2), jax.lax.stop_gradient(te),
                 compute_dtype=compute_dtype, need_input_grads=False,
             )
         if ccfg.zero_canonical:
