@@ -232,14 +232,19 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
     its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
     patch, a single grad over ALL level params, per-level Adam updates.
 
-    ``fused`` (default: auto — TPU product path, or
-    SWNERF_FUSED_STEP=force-interpret): each level's render runs as ONE
-    forward-only fused kernel and ONE external-cotangent backward kernel
-    (train/fused_step.py make_render_outputs) with the deformation net as
-    its own fused kernel — the pyramid-reconstruction term keeps real
-    gradients through the kernels' rgb outputs. Not combinable with a mesh
-    (Mosaic custom calls aren't GSPMD-partitionable; the mesh path keeps
-    the autodiff step, which the sharded equivalence test pins)."""
+    ``fused`` (opt-in: SWNERF_FUSED_MULTIRES=1, or
+    SWNERF_FUSED_STEP=force-interpret for CPU equivalence tests): each
+    level's render runs as ONE forward-only fused kernel and ONE
+    external-cotangent backward kernel (train/fused_step.py
+    make_render_outputs) with the deformation net as its own fused kernel —
+    the pyramid-reconstruction term keeps real gradients through the
+    kernels' rgb outputs. MEASURED SLOWER than the autodiff step at the
+    reference patch shapes (11.05M vs 12.32M samp/s/chip,
+    benchmarks/tpu_batch3.py shapes: the per-ray-tiled render kernels lose
+    to the point-blocked field kernels on 1024/256/64/16-ray patches), so
+    the autodiff path stays the product default; the fused path remains
+    equivalence-tested for objectives that need it. Not combinable with a
+    mesh (Mosaic custom calls aren't GSPMD-partitionable)."""
     import os
 
     L = len(fields)
@@ -250,9 +255,7 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
             or (
                 mesh is None
                 and jax.devices()[0].platform == "tpu"
-                and os.environ.get("SWNERF_FUSED", "1") != "0"
-                and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
-                and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
+                and os.environ.get("SWNERF_FUSED_MULTIRES", "0") == "1"
             )
         )
     fused = fused and mesh is None
