@@ -632,17 +632,18 @@ def fused_render_pass(
         )
     else:
         gct_p = None
-    if store_stride is None:
-        import os
+    import os
 
+    if store_stride is None:
         store_stride = int(os.environ.get("SWNERF_FUSED_STRIDE", "2"))
+    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "100"))
     outs = _render_pass_call(
         tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p, gct_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),
         float(loss_scale), interpret, bool(remat),
         meta.get("act", "relu"), bool(meta.get("rgb_relu", False)),
         from_rays, bool(need_input_grads), bool(need_param_grads),
-        int(store_stride),
+        int(store_stride), vmem_mb,
     )
     n_out = 3 if need_input_grads else 2
     perray, wout = outs[len(outs) - n_out], outs[len(outs) - n_out + 1]
@@ -667,11 +668,12 @@ def fused_render_pass(
 
 @functools.partial(jax.jit,
                    static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
-                                   18, 19, 20, 21))
+                                   18, 19, 20, 21, 22))
 def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
                       skip, W, S, R, white_bkgd, loss_scale, interpret,
                       remat=True, act="relu", rgb_relu=False, from_rays=False,
-                      input_grads=False, param_grads=True, store_stride=2):
+                      input_grads=False, param_grads=True, store_stride=2,
+                      vmem_mb=100):
     encode = len(consts) > 0
     ext_ct = gct_p is not None
     P = aux_p.shape[0]
@@ -709,12 +711,9 @@ def _render_pass_call(flat, consts, emb_in, vemb_p, aux_p, tgt_p, gct_p, D,
     ct_in = (gct_p,) if ext_ct else ()
     ct_specs = [ray_spec] if ext_ct else []
     # Mosaic's default VMEM budget is conservative (the round-1/2 "16 MB"
-    # wall); the raised default lets the rc16/rf8 product tiles compile.
+    # wall); the raised cap lets the rc16/rf8 product tiles compile.
     # SWNERF_FUSED_VMEM_MB=0 restores the Mosaic default; an over-ask
     # fails loudly at compile, not silently.
-    import os
-
-    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "100"))
     cparams = None
     if vmem_mb > 0:
         cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
