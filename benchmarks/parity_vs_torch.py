@@ -333,8 +333,23 @@ def _eval_multires_ckpt(ckpt, scene, n_samp, label):
     gt = scene.images[scene.i_test]
     frames = [psnr(g, np.clip(p, 0, 1), data_range=1.0) for g, p in zip(gt, recon)]
     mean = float(np.mean(frames))
-    print(f"[eval] {label}: mean test PSNR {mean:.3f} dB  frames={['%.2f' % f for f in frames]}")
-    return mean, frames
+    # Trained-region PSNR: at PARITY_SIZE=64 the coarsest level (8 px) is
+    # smaller than the 32-px base patch, so initialize_patches pins every
+    # phase-2 patch to the top-left corner (both implementations,
+    # multires_dnerf.py:562-585) — only that region receives joint-phase
+    # gradients. The full-frame number saturates (white-clip; see
+    # PARITY_TORCH.md round 3); the corner discriminates.
+    ps0 = 32
+    corner = [
+        psnr(g[:ps0, :ps0], np.clip(p[:ps0, :ps0], 0, 1), data_range=1.0)
+        for g, p in zip(gt, recon)
+    ]
+    mean_c = float(np.mean(corner))
+    print(
+        f"[eval] {label}: mean test PSNR {mean:.3f} dB  "
+        f"frames={['%.2f' % f for f in frames]}  trained-corner {mean_c:.3f} dB"
+    )
+    return mean, {"frames": frames, "corner_psnr": mean_c, "corner_frames": corner}
 
 
 def eval_ckpt(mode, tarpath, scene_args, label):
