@@ -137,7 +137,13 @@ def build_config(mode, out, data, iters):
         "dataset_type": "blender",
         "no_batching": "True",
         "use_viewdirs": "True",
-        "white_bkgd": "True",
+        # PARITY_BKGD=black drops the white composite on BOTH sides (and
+        # the scene is written with a black background): required for a
+        # discriminating scaled-down MultiRes run — with a white background
+        # a level can only express a near-zero Laplacian band as dense
+        # black fog and the reconstruction clip saturates (PARITY_TORCH.md
+        # round 3).
+        "white_bkgd": str(os.environ.get("PARITY_BKGD", "white") != "black"),
         "lrate": "5e-4",
         "lrate_decay": "250",
         "N_rand": str(n_rand),
@@ -306,7 +312,8 @@ def _eval_multires_ckpt(ckpt, scene, n_samp, label):
     )
     rcfg = RenderConfig(
         n_samples=n_samp, n_importance=0, perturb=0.0, raw_noise_std=0.0,
-        white_bkgd=True, use_viewdirs=True,
+        white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
+        use_viewdirs=True,
     )
     times = scene.times[scene.i_test]
     level_frames = []
@@ -402,7 +409,8 @@ def eval_ckpt(mode, tarpath, scene_args, label):
         n_samples=n_samp,
         n_importance=0 if mode == "tnerf" else n_samp,
         perturb=0.0, raw_noise_std=0.0,
-        white_bkgd=True, use_viewdirs=True,
+        white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
+        use_viewdirs=True,
     )
     times = scene.times[scene.i_test] if scene.times is not None else None
     rgbs, _ = render_path(
@@ -428,7 +436,11 @@ def main():
     # (checker sphere + striped box + occluder) — the soft sphere saturates
     # at ~36 dB and stops discriminating (VERDICT round-2 missing #2).
     gt_scene = os.environ.get("PARITY_SCENE", "sphere")
-    data = os.path.join(out, f"data_{mode}" + ("" if gt_scene == "sphere" else f"_{gt_scene}"))
+    bkgd = os.environ.get("PARITY_BKGD", "white")
+    tag = ("" if gt_scene == "sphere" else f"_{gt_scene}") + (
+        "" if bkgd == "white" else f"_{bkgd}"
+    )
+    data = os.path.join(out, f"data_{mode}{tag}")
     if not os.path.isdir(data):
         from swnerf_tpu.data.synthetic import write_blender_scene
 
@@ -436,7 +448,7 @@ def main():
         write_blender_scene(
             data, n_train=20, n_val=2, n_test=3, size=size,
             dynamic=mode in ("dnerf", "tnerf", "multires"),
-            scene=gt_scene,
+            scene=gt_scene, white_bkgd=(bkgd != "black"),
         )
         print("scene written:", data)
 
@@ -465,7 +477,8 @@ def main():
     # Identical eval of both final checkpoints.
     scene_args = ap.Namespace(
         dataset_type="blender" if mode == "nerf" else "blender_dnerf",
-        datadir=data, half_res=False, testskip=1, white_bkgd=True,
+        datadir=data, half_res=False, testskip=1,
+        white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
         render_test=False,
     )
     suffix = f"_s{seed}" if seed else ""

@@ -129,6 +129,7 @@ def write_blender_scene(
     n_samples: int = 128,
     seed: int = 0,
     scene: str = "sphere",
+    white_bkgd: bool = True,
 ) -> None:
     """Write a RENDERABLE blender-format dataset to disk: the analytic
     emissive sphere imaged from spherical poses, as transforms_{split}.json +
@@ -161,7 +162,7 @@ def write_blender_scene(
             t = i / max(n - 1, 1) if dynamic else 0.0
             rays = make_rays_from_camera(H, W, float(focal), c2w, near=2.0, far=6.0)
             rgb = np.asarray(
-                render_gt(rays, n_samples, time=t, scene=scene)
+                render_gt(rays, n_samples, white_bkgd=white_bkgd, time=t, scene=scene)
             ).reshape(H, W, 3)
             rgba = np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1)
             rel = f"./{split}/r_{i}"
