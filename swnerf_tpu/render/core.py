@@ -340,13 +340,11 @@ def _render_image_fn(
             # Mosaic custom calls inside the body: map the tiles per-device
             # with shard_map so each chip runs its own fused kernels; the
             # fetched output still assembles over the rays axis.
-            from jax.experimental.shard_map import shard_map
-
-            run_local = shard_map(
+            run_local = jax.shard_map(
                 run, mesh=mesh,
                 in_specs=(P(), P(), P(RAYS_AXIS)),
                 out_specs=P(RAYS_AXIS),
-                check_rep=False,
+                check_vma=False,
             )
             fn = jax.jit(run_local)
         else:
