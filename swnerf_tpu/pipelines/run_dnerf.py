@@ -392,7 +392,15 @@ def train(argv=None):
             return
         psnr_history.append(psnr)
         del psnr_history[:-8]
-        if len(psnr_history) >= 8 and max(psnr_history) - min(psnr_history) < 0.02:
+        # The pathology is flatness AT the constant-background floor — a
+        # converged run that plateaus high must not trip this (the floor is
+        # ~11-14 dB on the reference scenes; a live run blows past 16 dB
+        # within the first few hundred iters).
+        if (
+            len(psnr_history) >= 8
+            and max(psnr_history) < 16.0
+            and max(psnr_history) - min(psnr_history) < 0.02
+        ):
             dead_init_warned[0] = True
             print(
                 f"[WARN] PSNR has been flat at {psnr:.2f} dB for "
