@@ -519,6 +519,7 @@ def fused_render_pass(
     need_param_grads: bool = True,
     perray_ct: jnp.ndarray = None,
     store_stride: int = None,
+    vmem_mb: int = None,
 ):
     """Fused trunk+composite+loss+backward for one render pass.
 
@@ -636,7 +637,8 @@ def fused_render_pass(
 
     if store_stride is None:
         store_stride = int(os.environ.get("SWNERF_FUSED_STRIDE", "2"))
-    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "100"))
+    if vmem_mb is None:
+        vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "100"))
     outs = _render_pass_call(
         tuple(flat), consts, emb_in, vemb_p, aux_p, tgt_p, gct_p,
         meta["D"], meta["skip"], meta["W"], S, R, bool(white_bkgd),

@@ -68,6 +68,11 @@ def make_fused_tnerf_step(
     if rays_per_tile is None:
         rays_per_tile = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
     remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
+    # T-NeRF runs ~4% FASTER under Mosaic's default VMEM budget than under
+    # the raised global cap that the vanilla rc16/rf8 tiles need (v5e A/B:
+    # 652 vs 626 it/s, PERFORMANCE.md round 3) — keep the Mosaic default
+    # here unless explicitly overridden.
+    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB_TNERF", "0"))
 
     def train_step(state: TrainState, rays: Rays, target, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -92,7 +97,7 @@ def make_fused_tnerf_step(
             rcfg.white_bkgd, scale, rays_per_tile=rays_per_tile,
             interpret=interpret, compute_dtype=compute_dtype,
             origins=rays.origins, directions=rays.directions,
-            remat=remat, times=rays.times, arch="tnerf",
+            remat=remat, times=rays.times, arch="tnerf", vmem_mb=vmem_mb,
         )
         mse0 = jnp.sum(outs["sqerr"]) * scale
         if axis_name is not None:
