@@ -136,7 +136,16 @@ def _trunk_fwd_keep(emb, vemb, nxt, D: int, skip: int, W: int,
     layer (preferred when the tile is small enough to fit); stride 3-4
     trades ~1 recompute matmul per gap layer for the VMEM that unlocks
     bigger ray tiles. ``store=False`` (forward-only mode: eval passes, the
-    external-cotangent forward) keeps NOTHING — no reverse sweep will run."""
+    external-cotangent forward) keeps NOTHING — no reverse sweep will run.
+
+    Scheduling note (measured, PERFORMANCE.md round 3): this forward chain
+    runs at ~41%% of the MXU roof vs the reverse sweep's ~87%% — the
+    backward has three independent matmuls per layer to overlap, the
+    forward is a pure matmul->activation dependency chain. Splitting the
+    tile into two independent row-half chains to manufacture that overlap
+    was tried and REGRESSED (24.6M vs 29.7M at rc16/rf8; 25.4M vs 27.0M at
+    rc32/rf16): Mosaic schedules the traced order and does not interleave
+    independent chains, so the split only halves the matmul M-dimension."""
     cdt = emb.dtype
     hs, ws = {}, []
     h = None
