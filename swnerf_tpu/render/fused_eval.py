@@ -25,6 +25,21 @@ from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
 from swnerf_tpu.train.fused_step import _dists_scaled
 
 
+def _eval_tiles(default_rc: int = 8, default_rf: int = 4):
+    """Ray tiles for the forward-only eval kernels. Eval-specific knobs
+    win; the shared train-tile knobs are honored next (back-compat); the
+    defaults differ from the train step's because the forward-only pass
+    has no reverse-sweep working set (store=False) and bigger tiles are
+    pure matmul-row win (PERFORMANCE.md eval-tile sweep)."""
+    rc = int(os.environ.get(
+        "SWNERF_FUSED_TILE_EVAL_COARSE",
+        os.environ.get("SWNERF_FUSED_TILE_COARSE", str(default_rc))))
+    rf = int(os.environ.get(
+        "SWNERF_FUSED_TILE_EVAL_FINE",
+        os.environ.get("SWNERF_FUSED_TILE_FINE", str(default_rf))))
+    return rc, rf
+
+
 def supports_eval_pass(mcfg, fine_field, eval_pass=None) -> bool:
     """Both passes' architectures must be kernel-supported with matching
     embedding dims (shared in-kernel encode constants). The coarse cfg was
@@ -56,8 +71,7 @@ def make_vanilla_eval_pass(mcfg, interpret: bool = False,
     NeRFOriginal trunk family, from-rays in-kernel encode)."""
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
-    rf = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+    rc, rf = _eval_tiles()
 
     def run(params, fine_params, fine_field, rays, ecfg):
         n = rays.origins.shape[0]
@@ -106,7 +120,7 @@ def make_tnerf_eval_pass(mcfg, interpret: bool = False,
     and the combined [embed(xyz)|embed(t)] constants (arch=\"tnerf\")."""
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
+    rc, _ = _eval_tiles()
 
     def run(params, fine_params, fine_field, rays, ecfg):
         del fine_params, fine_field  # single model (run_tnerf.py:329)
@@ -141,8 +155,7 @@ def make_dnerf_eval_pass(mcfg, interpret: bool = False,
     from swnerf_tpu.ops.pallas.raymarch import fused_time_net, supports_time_net
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "8"))
-    rf = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "4"))
+    rc, rf = _eval_tiles()
 
     def dx_at(tp, ccfg, pts, times):
         tb = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))

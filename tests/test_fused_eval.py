@@ -202,6 +202,29 @@ class TestFusedEval:
                 rtol=1e-5, err_msg=k,
             )
 
+    def test_eval_tile_invariance(self, monkeypatch):
+        """Output is identical across SWNERF_FUSED_TILE_EVAL_* settings —
+        the eval tiles are a pure scheduling knob (exercises both the
+        masked sub-sublane path at small R and the plain path at R=chunk)."""
+        cfg, plain, fused = self._fields()
+        rcfg = RenderConfig(n_samples=8, n_importance=8, white_bkgd=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        fine = plain.init(jax.random.PRNGKey(1))
+        rays = _rays(64)
+        outs = []
+        for rc, rf in ((4, 2), (16, 8), (64, 64)):
+            monkeypatch.setenv("SWNERF_FUSED_TILE_EVAL_COARSE", str(rc))
+            monkeypatch.setenv("SWNERF_FUSED_TILE_EVAL_FINE", str(rf))
+            f = make_vanilla_field(cfg, fused=False, fused_interpret=True)
+            outs.append(render_image(f, params, rays, rcfg, chunk=64,
+                                     fine_params=fine))
+        for o in outs[1:]:
+            for k in ("rgb", "disp", "acc", "depth"):
+                np.testing.assert_allclose(
+                    np.asarray(outs[0][k]), np.asarray(o[k]), atol=1e-6,
+                    rtol=1e-6, err_msg=k,
+                )
+
     def test_unsupported_fine_arch_falls_back(self):
         """A fine net the kernel can't express (netwidth % 128 != 0, legal
         in the reference CLI) must route the WHOLE render through the
