@@ -25,12 +25,13 @@ from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
 from swnerf_tpu.train.fused_step import _dists_scaled
 
 
-def _eval_tiles(default_rc: int = 8, default_rf: int = 4):
+def _eval_tiles(default_rc: int = 32, default_rf: int = 16):
     """Ray tiles for the forward-only eval kernels. Eval-specific knobs
     win; the shared train-tile knobs are honored next (back-compat); the
     defaults differ from the train step's because the forward-only pass
     has no reverse-sweep working set (store=False) and bigger tiles are
-    pure matmul-row win (PERFORMANCE.md eval-tile sweep)."""
+    pure matmul-row win up to rc32/rf16 — the measured 400^2-frame
+    optimum (benchmarks/tpu_eval_tiles.py; rc64+ regresses)."""
     rc = int(os.environ.get(
         "SWNERF_FUSED_TILE_EVAL_COARSE",
         os.environ.get("SWNERF_FUSED_TILE_COARSE", str(default_rc))))
