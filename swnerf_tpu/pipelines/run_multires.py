@@ -232,35 +232,50 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
     its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
     patch, a single grad over ALL level params, per-level Adam updates.
 
-    ``fused`` (opt-in: SWNERF_FUSED_MULTIRES=1, or
-    SWNERF_FUSED_STEP=force-interpret for CPU equivalence tests): each
-    level's render runs as ONE forward-only fused kernel and ONE
-    external-cotangent backward kernel (train/fused_step.py
-    make_render_outputs) with the deformation net as its own fused kernel —
-    the pyramid-reconstruction term keeps real gradients through the
-    kernels' rgb outputs. MEASURED SLOWER than the autodiff step at the
-    reference patch shapes (11.05M vs 12.32M samp/s/chip,
-    benchmarks/tpu_batch3.py shapes: the per-ray-tiled render kernels lose
-    to the point-blocked field kernels on 1024/256/64/16-ray patches), so
-    the autodiff path stays the product default; the fused path remains
-    equivalence-tested for objectives that need it. Not combinable with a
-    mesh (Mosaic custom calls aren't GSPMD-partitionable)."""
+    ``fused`` selects PER LEVEL (None = resolve from env, a bool = all
+    levels, or a per-level list): a fused level's render runs as ONE
+    forward-only fused kernel and ONE external-cotangent backward kernel
+    (train/fused_step.py make_render_outputs) with the deformation net as
+    its own fused kernel — the pyramid-reconstruction term keeps real
+    gradients through the kernels' rgb outputs. Measured on the v5e at the
+    reference patch shapes (1024/256/64/16 rays,
+    benchmarks/tpu_multires_decomp.py + tpu_multires_hybrid.py): the step
+    cost is additive per level and the 1024-ray level dominates (5.2 of
+    7.1 ms), but the fused scheme loses at EVERY split — all-autodiff
+    12.25M vs fused-level-0-only 11.49M vs all-fused 11.02M samp/s/chip.
+    The pyramid-reconstruction term couples the levels, so a fused level
+    must run forward-only + external-cotangent backward = 4
+    forward-equivalents of MXU work vs the point-blocked autodiff kernels'
+    3 — the in-kernel-loss 3-equivalent scheme is structurally unavailable
+    here. Autodiff stays the product default; SWNERF_FUSED_MULTIRES=1
+    forces all levels fused, or a comma list ("1,0,0,0") picks per level
+    (equivalence-tested paths either way). Not combinable with a mesh
+    (Mosaic custom calls aren't GSPMD-partitionable)."""
     import os
 
     L = len(fields)
     interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
     if fused is None:
-        fused = all(supports_fused_phase2(f, rcfg) for f in fields) and (
-            interp
-            or (
-                mesh is None
-                and jax.devices()[0].platform == "tpu"
-                and os.environ.get("SWNERF_FUSED_MULTIRES", "0") == "1"
-            )
-        )
-    fused = fused and mesh is None
+        can = [supports_fused_phase2(f, rcfg) for f in fields]
+        if interp:
+            fused = can
+        elif mesh is None and jax.devices()[0].platform == "tpu":
+            mode = os.environ.get("SWNERF_FUSED_MULTIRES", "0")
+            if mode == "1":
+                fused = can
+            elif "," in mode:
+                flags = [x.strip() == "1" for x in mode.split(",")]
+                fused = [c and l < len(flags) and flags[l] for l, c in enumerate(can)]
+            else:
+                fused = False
+        else:
+            fused = False
+    if isinstance(fused, bool):
+        fused = [fused] * L
+    if mesh is not None:
+        fused = [False] * L
 
-    if fused:
+    if any(fused):
         from swnerf_tpu.ops.embedding import positional_encoding
         from swnerf_tpu.ops.pallas.raymarch import fused_time_net
         from swnerf_tpu.train.fused_step import _dists_scaled, make_render_outputs
@@ -270,7 +285,8 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
         render_outs = [
             make_render_outputs(f.cfg, rcfg.white_bkgd, tile=tile,
                                 interpret=interp, compute_dtype=cdt)
-            for f in fields
+            if fused[l] else None
+            for l, f in enumerate(fields)
         ]
 
         def fused_rgb(l, params_l, rays, rng):
@@ -323,7 +339,7 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
             rays_o, rays_d = get_rays_at(pixels_all[l], int(H_l), int(W_l), float(focal_l), poses_all)
             times = jnp.full((ps * ps, 1), t, jnp.float32)
             rays = build_rays(rays_o, rays_d, near, far, use_viewdirs=rcfg.use_viewdirs, times=times)
-            if fused:
+            if fused[l]:
                 rgb = fused_rgb(l, params_all[l]["coarse"], rays, rng).reshape(ps, ps, 3)
                 out = {}
             else:
