@@ -406,12 +406,23 @@ def train(argv=None):
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
+    # Clamp the base patch to the image (largest power of two <= min(H, W)):
+    # the reference hard-assumes 400px images and crashes on anything
+    # smaller than its 32px patch (multires_dnerf.py:726-733 slices a
+    # patch_size x patch_size target unconditionally); clamping keeps the
+    # aligned halve-per-level geometry on small scenes.
+    base_ps = BASE_PATCH_SIZE
+    while base_ps > 1 and base_ps > min(scene.H, scene.W):
+        base_ps //= 2
+    if base_ps != BASE_PATCH_SIZE:
+        print(f"Patch size clamped to {base_ps} for {scene.H}x{scene.W} images")
+
     # The mesh size must divide BOTH phase-1's N_rand and every phase-2
     # patch batch (ps^2 per level; the smallest is the binding one since
     # they are powers of four of each other).
-    min_patch_sq = min(max(BASE_PATCH_SIZE // (2**l), 1) ** 2 for l in range(L))
+    min_patch_sq = min(max(base_ps // (2**l), 1) ** 2 for l in range(L))
     mesh = data_parallel_mesh(gcd(args.N_rand, min_patch_sq))
-    patch_sizes = [max(BASE_PATCH_SIZE // (2**l), 1) for l in range(L)]
+    patch_sizes = [max(base_ps // (2**l), 1) for l in range(L)]
 
     images_dev = jnp.asarray(scene.images)
     lap_bands = [np.asarray(b) for b in generate_laplacian_pyramid(images_dev, levels=L)]
@@ -490,7 +501,7 @@ def train(argv=None):
     print("Begin joint training")
     metrics = {}
     for i in range(start + 1, n_iters):
-        coords = initialize_patches(host_rng, pyr_hwf, i)
+        coords = initialize_patches(host_rng, pyr_hwf, i, base_patch_size=base_ps)
         img_i = int(host_rng.choice(scene.i_train))
         t = float(times_np[img_i])
 

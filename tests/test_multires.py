@@ -108,6 +108,31 @@ class TestMultiResPipeline:
         monkeypatch.setenv("SWNERF_PHASE1_ITERS", "0")
         train(args)
 
+    def test_small_image_patch_clamp(self, tmp_path, monkeypatch):
+        """Images smaller than the 32px base patch clamp it to the largest
+        power of two that fits (the reference crashes there:
+        multires_dnerf.py:726-733 slices a 32x32 target unconditionally)."""
+        from swnerf_tpu.pipelines.run_multires import train
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=4, size=16, dynamic=True)
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "1")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "3")
+        metrics = train([
+            "--expname", "mrs", "--basedir", str(logs), "--datadir", str(data),
+            "--dataset_type", "blender", "--white_bkgd", "--use_viewdirs",
+            "--nerf_type", "direct_temporal",
+            "--netdepth", "2", "--netwidth", "16",
+            "--N_rand", "16", "--N_samples", "4",
+            "--chunk", "4096", "--testskip", "1",
+            "--layer_num", "3", "--global_optimization_epoch", "1",
+            "--i_weights", "100000", "--i_print", "2",
+            "--i_video", "100000", "--i_testset", "100000", "--i_img", "100000",
+            "--no_batching",
+        ])
+        assert np.isfinite(metrics["total_loss"])
+
     def test_sharded_matches_single(self, tmp_path, monkeypatch):
         """Both phases under the 8-device rays mesh produce the same
         training trajectory as the single-device run (the other three
