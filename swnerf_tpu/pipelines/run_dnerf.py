@@ -37,9 +37,13 @@ from swnerf_tpu.render.core import RenderConfig, Rays, render_rays
 from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
 from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
+    ckpt_format,
     find_checkpoints,
+    load_native,
     load_tar,
+    native_path,
     params_to_state_dict,
+    save_native,
     save_tar,
     state_dict_to_params,
     torch_dict_to_adam,
@@ -115,6 +119,13 @@ def create_dnerf(args):
 
     start = 0
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
+        print("Reloading from", ckpts[-1])
+        state, extra = load_native(ckpts[-1], state, {"global_step": 0})
+        start = int(extra["global_step"])
+        return field, ffield, kind, rcfg, optimizer, state, start, (
+            mcfg, fcfg if args.use_two_models_for_fine else None
+        )
     if ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
         ckpt = load_tar(ckpts[-1])
@@ -131,20 +142,26 @@ def create_dnerf(args):
 
 
 def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
-    """.tar with the dnerf schema (run_dnerf.py:757-769)."""
+    """.tar with the dnerf schema (run_dnerf.py:757-769), and/or the native
+    flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    groups = [(kind, "coarse")]
-    payload = {
-        "global_step": i,
-        "network_fn_state_dict": params_to_state_dict(kind, state.params["coarse"]),
-    }
-    if state.params["fine"] is not None:
-        payload["network_fine_state_dict"] = params_to_state_dict(kind, state.params["fine"])
-        groups.append((kind, "fine"))
-    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
-    payload["optimizer_state_dict"] = adam_to_torch_dict(state.opt_state, state.params, groups, lr)
-    save_tar(path, payload)
-    print("Saved checkpoints at", path)
+    fmt = ckpt_format()
+    if fmt in ("tar", "both"):
+        groups = [(kind, "coarse")]
+        payload = {
+            "global_step": i,
+            "network_fn_state_dict": params_to_state_dict(kind, state.params["coarse"]),
+        }
+        if state.params["fine"] is not None:
+            payload["network_fine_state_dict"] = params_to_state_dict(kind, state.params["fine"])
+            groups.append((kind, "fine"))
+        lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+        payload["optimizer_state_dict"] = adam_to_torch_dict(state.opt_state, state.params, groups, lr)
+        save_tar(path, payload)
+        print("Saved checkpoints at", path)
+    if fmt in ("native", "both"):
+        save_native(native_path(path), state, extra={"global_step": i})
+        print("Saved checkpoints at", native_path(path))
 
 
 def make_dnerf_step(

@@ -61,9 +61,13 @@ from swnerf_tpu.render.core import RenderConfig, build_rays, render_rays
 from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
 from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
+    ckpt_format,
     find_checkpoints,
+    load_native,
     load_tar,
+    native_path,
     params_to_state_dict,
+    save_native,
     save_tar,
     state_dict_to_params,
     torch_dict_to_adam,
@@ -162,7 +166,16 @@ def create_multires(args, scene):
 
     start = 0
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
-    if ckpts and not args.no_reload:
+    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
+        print("Reloading from", ckpts[-1])
+        payload, extra = load_native(
+            ckpts[-1],
+            {"params_all": params_all, "opt_states": opt_states},
+            {"global_step": 0},
+        )
+        params_all, opt_states = payload["params_all"], payload["opt_states"]
+        start = int(extra["global_step"])
+    elif ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
         ckpt = load_tar(ckpts[-1])
         start = int(ckpt["global_step"])
@@ -194,19 +207,29 @@ def create_multires(args, scene):
 
 
 def save_multires_ckpt(args, kind, params_all, opt_states, i):
-    """.tar with per-layer keys (multires_dnerf.py:1010-1024)."""
+    """.tar with per-layer keys (multires_dnerf.py:1010-1024), and/or the
+    native flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
-    payload = {"global_step": i}
-    for layer, (p, st) in enumerate(zip(params_all, opt_states)):
-        payload[f"network_fn_{layer}"] = params_to_state_dict(kind, p["coarse"])
-        groups = [(kind, "coarse")]
-        if p["fine"] is not None:
-            payload[f"network_fine_{layer}"] = params_to_state_dict(kind, p["fine"])
-            groups.append((kind, "fine"))
-        payload[f"optimizer_{layer}"] = adam_to_torch_dict(st, p, groups, lr)
-    save_tar(path, payload)
-    print("Saved checkpoints at", path)
+    fmt = ckpt_format()
+    if fmt in ("tar", "both"):
+        lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+        payload = {"global_step": i}
+        for layer, (p, st) in enumerate(zip(params_all, opt_states)):
+            payload[f"network_fn_{layer}"] = params_to_state_dict(kind, p["coarse"])
+            groups = [(kind, "coarse")]
+            if p["fine"] is not None:
+                payload[f"network_fine_{layer}"] = params_to_state_dict(kind, p["fine"])
+                groups.append((kind, "fine"))
+            payload[f"optimizer_{layer}"] = adam_to_torch_dict(st, p, groups, lr)
+        save_tar(path, payload)
+        print("Saved checkpoints at", path)
+    if fmt in ("native", "both"):
+        save_native(
+            native_path(path),
+            {"params_all": params_all, "opt_states": opt_states},
+            extra={"global_step": i},
+        )
+        print("Saved checkpoints at", native_path(path))
 
 
 def supports_fused_phase2(field, rcfg) -> bool:

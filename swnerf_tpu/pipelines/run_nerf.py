@@ -35,9 +35,13 @@ from swnerf_tpu.render.core import RenderConfig
 from swnerf_tpu.train import make_optimizer, make_train_step
 from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
+    ckpt_format,
     find_checkpoints,
+    load_native,
     load_tar,
+    native_path,
     params_to_state_dict,
+    save_native,
     save_tar,
     state_dict_to_params,
     torch_dict_to_adam,
@@ -102,6 +106,11 @@ def create_vanilla(args):
 
     start = 0
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
+        print("Reloading from", ckpts[-1])
+        state, extra = load_native(ckpts[-1], state, {"global_step": 0})
+        start = int(extra["global_step"])
+        return field, fine_field, rcfg, optimizer, state, start, (mcfg, fcfg)
     if ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
         ckpt = load_tar(ckpts[-1])
@@ -125,24 +134,30 @@ def create_vanilla(args):
 
 
 def save_vanilla_ckpt(args, state: TrainState, i: int):
-    """.tar with the vanilla schema (run.py:717-723)."""
+    """.tar with the vanilla schema (run.py:717-723), and/or the native
+    flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    groups = [("vanilla", "coarse")]
-    payload = {
-        "global_step": i,
-        "network_fn_state_dict": params_to_state_dict("vanilla", state.params["coarse"]),
-    }
-    if state.params["fine"] is not None:
-        payload["network_fine_state_dict"] = params_to_state_dict(
-            "vanilla", state.params["fine"]
+    fmt = ckpt_format()
+    if fmt in ("tar", "both"):
+        groups = [("vanilla", "coarse")]
+        payload = {
+            "global_step": i,
+            "network_fn_state_dict": params_to_state_dict("vanilla", state.params["coarse"]),
+        }
+        if state.params["fine"] is not None:
+            payload["network_fine_state_dict"] = params_to_state_dict(
+                "vanilla", state.params["fine"]
+            )
+            groups.append(("vanilla", "fine"))
+        lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+        payload["optimizer_state_dict"] = adam_to_torch_dict(
+            state.opt_state, state.params, groups, lr
         )
-        groups.append(("vanilla", "fine"))
-    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
-    payload["optimizer_state_dict"] = adam_to_torch_dict(
-        state.opt_state, state.params, groups, lr
-    )
-    save_tar(path, payload)
-    print("Saved checkpoints at", path)
+        save_tar(path, payload)
+        print("Saved checkpoints at", path)
+    if fmt in ("native", "both"):
+        save_native(native_path(path), state, extra={"global_step": i})
+        print("Saved checkpoints at", native_path(path))
 
 
 def train(argv=None):

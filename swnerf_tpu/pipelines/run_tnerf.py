@@ -24,9 +24,13 @@ from swnerf_tpu.render.core import RenderConfig
 from swnerf_tpu.train import make_optimizer
 from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
+    ckpt_format,
     find_checkpoints,
+    load_native,
     load_tar,
+    native_path,
     params_to_state_dict,
+    save_native,
     save_tar,
     state_dict_to_params,
     torch_dict_to_adam,
@@ -66,6 +70,11 @@ def create_tnerf(args):
 
     start = 0
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
+    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
+        print("Reloading from", ckpts[-1])
+        state, extra = load_native(ckpts[-1], state, {"global_step": 0})
+        start = int(extra["global_step"])
+        return field, rcfg, optimizer, state, start, mcfg
     if ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
         ckpt = load_tar(ckpts[-1])
@@ -79,20 +88,26 @@ def create_tnerf(args):
 
 
 def save_tnerf_ckpt(args, state: TrainState, i: int):
-    """.tar with the tnerf schema (run_tnerf.py:719-728)."""
+    """.tar with the tnerf schema (run_tnerf.py:719-728), and/or the native
+    flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
-    save_tar(
-        path,
-        {
-            "global_step": i,
-            "network_fn_state_dict": params_to_state_dict("tnerf", state.params["coarse"]),
-            "optimizer_state_dict": adam_to_torch_dict(
-                state.opt_state, state.params, [("tnerf", "coarse")], lr
-            ),
-        },
-    )
-    print("Saved checkpoints at", path)
+    fmt = ckpt_format()
+    if fmt in ("tar", "both"):
+        lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
+        save_tar(
+            path,
+            {
+                "global_step": i,
+                "network_fn_state_dict": params_to_state_dict("tnerf", state.params["coarse"]),
+                "optimizer_state_dict": adam_to_torch_dict(
+                    state.opt_state, state.params, [("tnerf", "coarse")], lr
+                ),
+            },
+        )
+        print("Saved checkpoints at", path)
+    if fmt in ("native", "both"):
+        save_native(native_path(path), state, extra={"global_step": i})
+        print("Saved checkpoints at", native_path(path))
 
 
 def train(argv=None):

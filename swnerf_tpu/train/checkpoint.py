@@ -340,11 +340,39 @@ def load_native(path: str, state_template, extra_template: Optional[Dict[str, An
     return payload["state"], payload["extra"]
 
 
+def ckpt_format() -> str:
+    """``SWNERF_CKPT_FORMAT``: ``tar`` (default — the reference-compatible
+    torch-pickle archive), ``native`` (flax-msgpack pytree snapshot: no
+    torch dependency, no transpose/schema conversion on the hot save path),
+    or ``both``."""
+    v = os.environ.get("SWNERF_CKPT_FORMAT", "tar").lower()
+    if v not in ("tar", "native", "both"):
+        raise ValueError(
+            f"SWNERF_CKPT_FORMAT={v!r}: expected tar | native | both"
+        )
+    return v
+
+
+def native_path(tar_path: str) -> str:
+    """``000123.tar`` -> ``000123.msgpack`` sibling path."""
+    base = tar_path[:-4] if tar_path.endswith(".tar") else tar_path
+    return base + ".msgpack"
+
+
 def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) -> List[str]:
-    """Latest-last list of ckpts (reference auto-resume, run.py:262-268)."""
+    """Latest-last list of ckpts — ``.tar`` (reference auto-resume,
+    run.py:262-268) and native ``.msgpack`` snapshots, ordered by iteration
+    (a ``.tar`` sorts after its same-iteration ``.msgpack`` sibling, so
+    ``ckpts[-1]`` prefers the battle-tested compat format when both
+    exist)."""
     if ft_path is not None and ft_path != "None":
         return [ft_path]
     d = os.path.join(basedir, expname)
     if not os.path.isdir(d):
         return []
-    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if "tar" in f]
+    names = [
+        f for f in os.listdir(d)
+        if ("tar" in f or f.endswith(".msgpack")) and not f.endswith(".tmp")
+    ]
+    names.sort(key=lambda f: (os.path.splitext(f)[0], f.endswith(".tar")))
+    return [os.path.join(d, f) for f in names]

@@ -216,3 +216,15 @@ class TestTarIO:
         found = find_checkpoints(str(tmp_path), "exp")
         assert [f.split("/")[-1] for f in found] == ["000050.tar", "000100.tar"]
         assert find_checkpoints(str(tmp_path), "exp", ft_path="/some/x.tar") == ["/some/x.tar"]
+
+    def test_find_checkpoints_mixed_formats(self, tmp_path):
+        """Native .msgpack snapshots interleave by iteration; a .tar sorts
+        after its same-iteration .msgpack sibling (compat bias), and .tmp
+        partials are ignored."""
+        d = tmp_path / "exp"
+        d.mkdir()
+        for n in ("000100.tar", "000100.msgpack", "000150.msgpack",
+                  "000050.tar", "000200.msgpack.tmp"):
+            (d / n).write_bytes(b"x")
+        found = [f.split("/")[-1] for f in find_checkpoints(str(tmp_path), "exp")]
+        assert found == ["000050.tar", "000100.msgpack", "000100.tar", "000150.msgpack"]

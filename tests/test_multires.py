@@ -108,6 +108,18 @@ class TestMultiResPipeline:
         monkeypatch.setenv("SWNERF_PHASE1_ITERS", "0")
         train(args)
 
+        # Native msgpack snapshot: save at 8 (resuming from the .tar),
+        # then resume FROM the msgpack (its list-of-levels payload).
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "native")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        args8 = list(args)
+        args8[args8.index("--i_weights") + 1] = "8"
+        train(args8)
+        assert (logs / "mr" / "000008.msgpack").exists()
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "10")
+        m = train(args8)  # resumes at 8, runs step 9
+        assert np.isfinite(m["total_loss"])
+
     def test_small_image_patch_clamp(self, tmp_path, monkeypatch):
         """Images smaller than the 32px base patch clamp it to the largest
         power of two that fits (the reference crashes there:

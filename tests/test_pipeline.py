@@ -77,6 +77,44 @@ class TestVanillaPipeline:
         assert (rdir / "000.png").exists()
         assert any(f.startswith("video.") for f in os.listdir(rdir))
 
+    def test_native_ckpt_format(self, tmp_path, dataset, monkeypatch):
+        """SWNERF_CKPT_FORMAT=native writes flax-msgpack snapshots instead
+        of torch-pickle .tar, auto-resume picks them up bit-exactly, and
+        =both writes the pair."""
+        from swnerf_tpu.pipelines.run_nerf import create_vanilla, train
+        from swnerf_tpu.utils.config import config_parser
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "native")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_base_args(dataset, logs, ["--no_batching", "--N_importance", "4"]))
+        exp = logs / "tiny"
+        assert (exp / "000010.msgpack").exists()
+        assert not (exp / "000010.tar").exists()
+
+        # Auto-resume restores the full TrainState (params + Adam moments +
+        # step) from the msgpack snapshot.
+        args = config_parser().parse_args(
+            _base_args(dataset, logs, ["--no_batching", "--N_importance", "4"])
+        )
+        _, _, _, _, state, start, _ = create_vanilla(args)
+        assert start == 10 and int(state.step) == 10
+        assert state.params["fine"] is not None
+
+        # Resume training continues past the snapshot.
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "13")
+        train(_base_args(dataset, logs, ["--no_batching", "--N_importance", "4"]))
+
+        # =both writes the torch-compatible .tar alongside.
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "both")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "21")
+        train(_base_args(dataset, logs, ["--no_batching", "--N_importance", "4"]))
+        assert (exp / "000020.msgpack").exists() and (exp / "000020.tar").exists()
+        import torch
+
+        ckpt = torch.load(str(exp / "000020.tar"), map_location="cpu", weights_only=False)
+        assert ckpt["global_step"] == 20
+
     def test_pool_mode_with_fine(self, tmp_path, dataset, monkeypatch):
         from swnerf_tpu.pipelines.run_nerf import train
 
