@@ -45,6 +45,34 @@ class Field(NamedTuple):
     eval_pass: Optional[Callable[..., Any]] = None
 
 
+def safe_init_enabled() -> bool:
+    """``SWNERF_SAFE_INIT=1``: opt-in remedy for the shared dead-density
+    seed pathology (PERFORMANCE.md "Seed pathology"). With the reference's
+    init, trunk activations decay toward zero so the initial density is
+    approximately the density head's BIAS — a per-seed coin flip; a
+    negative draw leaves the network ReLU-dead with exactly zero gradients
+    forever. The reference's own workaround is ``--raw_noise_std 1e0``;
+    this knob instead removes the coin flip at the source (see
+    ``density_bias_floor``). Off by default: it changes the init
+    distribution, so strict torch-parity runs must keep it off."""
+    import os
+
+    return os.environ.get("SWNERF_SAFE_INIT", "0") == "1"
+
+
+def density_bias_floor(head: dict, index=None, floor: float = 0.1) -> dict:
+    """Fold the density-head bias to be >= ``floor``: ``b -> |b| + floor``
+    (on ``b[index]`` when the head is a multi-channel output layer). Keeps
+    the draw's magnitude distribution; guarantees a positive initial
+    density everywhere, so alpha > 0 and gradients flow from step one."""
+    b = head["b"]
+    if index is None:
+        nb = jnp.abs(b) + floor
+    else:
+        nb = b.at[index].set(jnp.abs(b[index]) + floor)
+    return {**head, "b": nb}
+
+
 def torch_linear_init(rng: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32):
     k = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
     wk, bk = jax.random.split(rng)

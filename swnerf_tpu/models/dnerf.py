@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from swnerf_tpu.models.common import (
     Field,
     dense,
+    density_bias_floor,
     init_mlp_stack,
     kaiming_linear_init,
+    safe_init_enabled,
     torch_linear_init,
 )
 from swnerf_tpu.ops.embedding import embedding_dim, positional_encoding
@@ -107,6 +109,11 @@ def init_nerf_original_params(rng: jax.Array, cfg: DNeRFConfig):
         params["rgb_linear"] = kaiming_linear_init(keys[4], W // 2, 3)
     else:
         params["output_linear"] = kaiming_linear_init(keys[5], W, cfg.output_ch)
+    if safe_init_enabled():
+        if cfg.use_viewdirs:
+            params["alpha_linear"] = density_bias_floor(params["alpha_linear"])
+        else:
+            params["output_linear"] = density_bias_floor(params["output_linear"], index=3)
     return params
 
 

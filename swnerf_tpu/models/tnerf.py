@@ -23,7 +23,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from swnerf_tpu.models.common import Field, dense, init_mlp_stack, torch_linear_init
+from swnerf_tpu.models.common import (
+    Field,
+    dense,
+    density_bias_floor,
+    init_mlp_stack,
+    safe_init_enabled,
+    torch_linear_init,
+)
 from swnerf_tpu.ops.embedding import embedding_dim, positional_encoding
 
 
@@ -75,7 +82,10 @@ def init_tnerf_params(rng: jax.Array, cfg: TNeRFConfig):
     keys = jax.random.split(rng, 5)
     return {
         "layers": init_mlp_stack(keys[0], dims),
-        "density": torch_linear_init(keys[1], nd, 1),
+        "density": (
+            density_bias_floor(torch_linear_init(keys[1], nd, 1))
+            if safe_init_enabled() else torch_linear_init(keys[1], nd, 1)
+        ),
         "feature": torch_linear_init(keys[2], nd, nd),
         "layer_9": torch_linear_init(keys[3], nd + cfg.dir_feat, nd // 2),
         "color": torch_linear_init(keys[4], nd // 2, 3),

@@ -423,9 +423,10 @@ def train(argv=None):
                 f"[WARN] PSNR has been flat at {psnr:.2f} dB for "
                 f"{8 * args.i_print} iters — this seed likely drew the "
                 "dead-density init (zero gradients; the model renders the "
-                "constant background). Restart with a different seed or add "
-                "`--raw_noise_std 1e0` (the reference's remedy; see "
-                "PERFORMANCE.md 'Seed pathology')."
+                "constant background). Restart with a different seed, add "
+                "`--raw_noise_std 1e0` (the reference's remedy), or set "
+                "SWNERF_SAFE_INIT=1 to remove the coin flip at the source "
+                "(see PERFORMANCE.md 'Seed pathology')."
             )
 
     def flush_pending(pending):

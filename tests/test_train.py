@@ -138,6 +138,56 @@ class TestOverfit:
         )
         assert moved > 0
 
+    def test_safe_init_unsticks_dead_seed_without_noise(self, monkeypatch):
+        """SWNERF_SAFE_INIT=1 folds the density-head bias positive
+        (models/common.py density_bias_floor), removing the per-seed
+        ReLU-death coin flip at the source. At the full-size architecture,
+        PRNGKey(1) draws an init whose density is negative EVERYWHERE
+        (sigma ~= the alpha-head bias after trunk decay) — without the
+        raw_noise_std crutch its gradients are exactly zero. The default
+        init is untouched (strict reference parity)."""
+        from swnerf_tpu.render import RenderConfig
+        from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+        from swnerf_tpu.train.loop import init_train_state
+
+        mcfg = VanillaNeRFConfig()  # full 8x256: the decay mechanism bites
+        field = make_vanilla_field(mcfg)
+        cfg = RenderConfig(
+            n_samples=8, n_importance=0, perturb=1.0, white_bkgd=True,
+            raw_noise_std=0.0,  # no noise remedy
+        )
+        opt = make_optimizer(lrate=5e-3, lrate_decay=250)
+        jstep = jax.jit(make_train_step(field, cfg, opt))
+        rays, target = _ray_batch()
+        key = jax.random.PRNGKey(42)
+
+        def coarse_movement(params):
+            state = init_train_state(jax.tree.map(jnp.asarray, params), opt)
+            state, _ = jstep(state, rays, target, key)
+            return sum(
+                float(jnp.abs(a - b).max())
+                for a, b in zip(
+                    jax.tree.leaves(params["coarse"]),
+                    jax.tree.leaves(state.params["coarse"]),
+                )
+            )
+
+        dead_params = {"coarse": field.init(jax.random.PRNGKey(1)), "fine": None}
+        sig = field.apply(dead_params["coarse"], jnp.zeros((4, 8, 3)) + 0.3,
+                          jnp.ones((4, 3)) / jnp.sqrt(3.0))[0][..., 3]
+        assert float(sig.max()) < 0.0  # ReLU-dead everywhere
+        assert coarse_movement(dead_params) == 0.0
+
+        monkeypatch.setenv("SWNERF_SAFE_INIT", "1")
+        safe_params = {"coarse": field.init(jax.random.PRNGKey(1)), "fine": None}
+        # Only the density-head bias differs from the dead init.
+        assert float(
+            jnp.abs(safe_params["coarse"]["alpha_linear"]["w"]
+                    - dead_params["coarse"]["alpha_linear"]["w"]).max()
+        ) == 0.0
+        assert float(safe_params["coarse"]["alpha_linear"]["b"].min()) >= 0.1
+        assert coarse_movement(safe_params) > 0.0
+
 
 class TestTVLossGolden:
     def test_tv_value_matches_hand_recipe(self):
