@@ -63,12 +63,12 @@ from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
     ckpt_format,
     find_checkpoints,
-    load_native,
     load_tar,
-    native_path,
+    maybe_save_native,
     params_to_state_dict,
-    save_native,
     save_tar,
+    tar_enabled,
+    try_native_resume,
     state_dict_to_params,
     torch_dict_to_adam,
 )
@@ -165,16 +165,14 @@ def create_multires(args, scene):
         pyr_hwf.append([scene.H // scale, scene.W // scale, scene.focal / scale])
 
     start = 0
+    ckpt_format()  # fail fast on a typo'd SWNERF_CKPT_FORMAT, not at first save
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
-    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
-        print("Reloading from", ckpts[-1])
-        payload, extra = load_native(
-            ckpts[-1],
-            {"params_all": params_all, "opt_states": opt_states},
-            {"global_step": 0},
-        )
+    native = try_native_resume(
+        ckpts, args.no_reload, {"params_all": params_all, "opt_states": opt_states}
+    )
+    if native is not None:
+        payload, start = native
         params_all, opt_states = payload["params_all"], payload["opt_states"]
-        start = int(extra["global_step"])
     elif ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
         ckpt = load_tar(ckpts[-1])
@@ -210,8 +208,7 @@ def save_multires_ckpt(args, kind, params_all, opt_states, i):
     """.tar with per-layer keys (multires_dnerf.py:1010-1024), and/or the
     native flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    fmt = ckpt_format()
-    if fmt in ("tar", "both"):
+    if tar_enabled():
         lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
         payload = {"global_step": i}
         for layer, (p, st) in enumerate(zip(params_all, opt_states)):
@@ -223,13 +220,7 @@ def save_multires_ckpt(args, kind, params_all, opt_states, i):
             payload[f"optimizer_{layer}"] = adam_to_torch_dict(st, p, groups, lr)
         save_tar(path, payload)
         print("Saved checkpoints at", path)
-    if fmt in ("native", "both"):
-        save_native(
-            native_path(path),
-            {"params_all": params_all, "opt_states": opt_states},
-            extra={"global_step": i},
-        )
-        print("Saved checkpoints at", native_path(path))
+    maybe_save_native(path, {"params_all": params_all, "opt_states": opt_states}, i)
 
 
 def supports_fused_phase2(field, rcfg) -> bool:

@@ -37,12 +37,12 @@ from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
     ckpt_format,
     find_checkpoints,
-    load_native,
     load_tar,
-    native_path,
+    maybe_save_native,
     params_to_state_dict,
-    save_native,
     save_tar,
+    tar_enabled,
+    try_native_resume,
     state_dict_to_params,
     torch_dict_to_adam,
 )
@@ -105,11 +105,11 @@ def create_vanilla(args):
     state = init_train_state(params, optimizer)
 
     start = 0
+    ckpt_format()  # fail fast on a typo'd SWNERF_CKPT_FORMAT, not at first save
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
-    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
-        print("Reloading from", ckpts[-1])
-        state, extra = load_native(ckpts[-1], state, {"global_step": 0})
-        start = int(extra["global_step"])
+    native = try_native_resume(ckpts, args.no_reload, state)
+    if native is not None:
+        state, start = native
         return field, fine_field, rcfg, optimizer, state, start, (mcfg, fcfg)
     if ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
@@ -137,8 +137,7 @@ def save_vanilla_ckpt(args, state: TrainState, i: int):
     """.tar with the vanilla schema (run.py:717-723), and/or the native
     flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    fmt = ckpt_format()
-    if fmt in ("tar", "both"):
+    if tar_enabled():
         groups = [("vanilla", "coarse")]
         payload = {
             "global_step": i,
@@ -155,9 +154,7 @@ def save_vanilla_ckpt(args, state: TrainState, i: int):
         )
         save_tar(path, payload)
         print("Saved checkpoints at", path)
-    if fmt in ("native", "both"):
-        save_native(native_path(path), state, extra={"global_step": i})
-        print("Saved checkpoints at", native_path(path))
+    maybe_save_native(path, state, i)
 
 
 def train(argv=None):

@@ -26,12 +26,12 @@ from swnerf_tpu.train.checkpoint import (
     adam_to_torch_dict,
     ckpt_format,
     find_checkpoints,
-    load_native,
     load_tar,
-    native_path,
+    maybe_save_native,
     params_to_state_dict,
-    save_native,
     save_tar,
+    tar_enabled,
+    try_native_resume,
     state_dict_to_params,
     torch_dict_to_adam,
 )
@@ -69,11 +69,11 @@ def create_tnerf(args):
     state = init_train_state(params, optimizer)
 
     start = 0
+    ckpt_format()  # fail fast on a typo'd SWNERF_CKPT_FORMAT, not at first save
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
-    if ckpts and not args.no_reload and ckpts[-1].endswith(".msgpack"):
-        print("Reloading from", ckpts[-1])
-        state, extra = load_native(ckpts[-1], state, {"global_step": 0})
-        start = int(extra["global_step"])
+    native = try_native_resume(ckpts, args.no_reload, state)
+    if native is not None:
+        state, start = native
         return field, rcfg, optimizer, state, start, mcfg
     if ckpts and not args.no_reload:
         print("Reloading from", ckpts[-1])
@@ -91,8 +91,7 @@ def save_tnerf_ckpt(args, state: TrainState, i: int):
     """.tar with the tnerf schema (run_tnerf.py:719-728), and/or the native
     flax-msgpack snapshot (SWNERF_CKPT_FORMAT=tar|native|both)."""
     path = os.path.join(args.basedir, args.expname, f"{i:06d}.tar")
-    fmt = ckpt_format()
-    if fmt in ("tar", "both"):
+    if tar_enabled():
         lr = float(exp_decay_schedule(args.lrate, args.lrate_decay)(i))
         save_tar(
             path,
@@ -105,9 +104,7 @@ def save_tnerf_ckpt(args, state: TrainState, i: int):
             },
         )
         print("Saved checkpoints at", path)
-    if fmt in ("native", "both"):
-        save_native(native_path(path), state, extra={"global_step": i})
-        print("Saved checkpoints at", native_path(path))
+    maybe_save_native(path, state, i)
 
 
 def train(argv=None):

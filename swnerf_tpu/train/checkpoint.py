@@ -327,17 +327,81 @@ def save_native(path: str, state, extra: Optional[Dict[str, Any]] = None) -> Non
     os.replace(tmp, path)
 
 
+def _check_state_dict_compat(saved, template, path="state"):
+    """Recursively compare a raw restored state-dict against the template's
+    state-dict: same keys, same leaf shapes. flax ``from_bytes`` would
+    otherwise crash opaquely on a missing subtree (e.g. resuming a
+    fine-less config from a snapshot saved WITH a fine net) or silently
+    restore mismatched structures/shapes."""
+    if isinstance(template, dict):
+        if not isinstance(saved, dict):
+            raise ValueError(
+                f"native checkpoint mismatch at {path}: saved a leaf where "
+                f"the current model has a subtree {sorted(template)}"
+            )
+        if set(saved) != set(template):
+            raise ValueError(
+                f"native checkpoint mismatch at {path}: saved keys "
+                f"{sorted(saved)} != current model keys {sorted(template)} "
+                "(was the snapshot written with a different model config?)"
+            )
+        for k in template:
+            _check_state_dict_compat(saved[k], template[k], f"{path}.{k}")
+        return
+    if isinstance(saved, dict):
+        raise ValueError(
+            f"native checkpoint mismatch at {path}: saved a subtree "
+            f"{sorted(saved)} where the current model has a leaf"
+        )
+    s_shape = getattr(saved, "shape", None)
+    t_shape = getattr(template, "shape", None)
+    if s_shape != t_shape:
+        raise ValueError(
+            f"native checkpoint mismatch at {path}: saved shape {s_shape} "
+            f"!= current model shape {t_shape} "
+            "(was the snapshot written with a different model config?)"
+        )
+
+
 def load_native(path: str, state_template, extra_template: Optional[Dict[str, Any]] = None):
     """Restore a native checkpoint into the given TrainState template.
-    Returns (state, extra)."""
+    Returns (state, extra). Raises ValueError with a clear message when the
+    snapshot's structure or leaf shapes do not match the template (changed
+    model config), instead of flax's opaque crash / silent mis-restore."""
     from flax import serialization
 
     with open(path, "rb") as f:
         blob = f.read()
-    payload = serialization.from_bytes(
-        {"state": state_template, "extra": extra_template or {}}, blob
-    )
+    template = {"state": state_template, "extra": extra_template or {}}
+    raw = serialization.msgpack_restore(blob)
+    _check_state_dict_compat(raw, serialization.to_state_dict(template))
+    payload = serialization.from_state_dict(template, raw)
     return payload["state"], payload["extra"]
+
+
+def tar_enabled() -> bool:
+    """Is the reference-compatible ``.tar`` format selected?"""
+    return ckpt_format() in ("tar", "both")
+
+
+def maybe_save_native(tar_path: str, state, i: int) -> None:
+    """Write the native ``.msgpack`` sibling of ``tar_path`` when the
+    format selection asks for it (shared by all four trainers)."""
+    if ckpt_format() in ("native", "both"):
+        p = native_path(tar_path)
+        save_native(p, state, extra={"global_step": i})
+        print("Saved checkpoints at", p)
+
+
+def try_native_resume(ckpts: List[str], no_reload: bool, state_template):
+    """If the latest discovered checkpoint is a native snapshot, restore it
+    into ``state_template`` and return ``(state, start_iter)``; else None
+    (callers fall through to the ``.tar`` path)."""
+    if ckpts and not no_reload and ckpts[-1].endswith(".msgpack"):
+        print("Reloading from", ckpts[-1])
+        state, extra = load_native(ckpts[-1], state_template, {"global_step": 0})
+        return state, int(extra["global_step"])
+    return None
 
 
 def ckpt_format() -> str:
@@ -362,9 +426,10 @@ def native_path(tar_path: str) -> str:
 def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) -> List[str]:
     """Latest-last list of ckpts — ``.tar`` (reference auto-resume,
     run.py:262-268) and native ``.msgpack`` snapshots, ordered by iteration
-    (a ``.tar`` sorts after its same-iteration ``.msgpack`` sibling, so
-    ``ckpts[-1]`` prefers the battle-tested compat format when both
-    exist)."""
+    NUMBER (lexicographic stem order would sort '1000000' before '990000'
+    once iterations outgrow the 06d padding); a ``.tar`` sorts after its
+    same-iteration ``.msgpack`` sibling, so ``ckpts[-1]`` prefers the
+    battle-tested compat format when both exist."""
     if ft_path is not None and ft_path != "None":
         return [ft_path]
     d = os.path.join(basedir, expname)
@@ -374,5 +439,12 @@ def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) 
         f for f in os.listdir(d)
         if ("tar" in f or f.endswith(".msgpack")) and not f.endswith(".tmp")
     ]
-    names.sort(key=lambda f: (os.path.splitext(f)[0], f.endswith(".tar")))
+
+    def key(f):
+        stem = os.path.splitext(f)[0]
+        numeric = stem.isdigit()
+        return (0, int(stem) if numeric else 0, stem if not numeric else "",
+                f.endswith(".tar"))
+
+    names.sort(key=key)
     return [os.path.join(d, f) for f in names]

@@ -228,3 +228,48 @@ class TestTarIO:
             (d / n).write_bytes(b"x")
         found = [f.split("/")[-1] for f in find_checkpoints(str(tmp_path), "exp")]
         assert found == ["000050.tar", "000100.msgpack", "000100.tar", "000150.msgpack"]
+
+    def test_find_checkpoints_numeric_order(self, tmp_path):
+        """Iterations past the 06d padding must still order numerically
+        ('1000000' > '990000' even though it sorts first lexicographically)."""
+        d = tmp_path / "exp"
+        d.mkdir()
+        for n in ("990000.tar", "1000000.tar", "000500.tar"):
+            (d / n).write_bytes(b"x")
+        found = [f.split("/")[-1] for f in find_checkpoints(str(tmp_path), "exp")]
+        assert found == ["000500.tar", "990000.tar", "1000000.tar"]
+
+    def test_native_checkpoint_config_mismatch(self, tmp_path):
+        """Resuming a native snapshot into a differently-configured model
+        must raise a clear ValueError, not flax's opaque crash (missing
+        subtree) or a silent mis-restore (same tree, wrong widths)."""
+        import pytest
+        from swnerf_tpu.train.checkpoint import load_native, save_native
+        from swnerf_tpu.train.loop import init_train_state
+        from swnerf_tpu.train import make_optimizer
+        from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+
+        cfg, field, params_c = _tiny_vanilla()
+        opt = make_optimizer()
+        # Snapshot written WITH a fine net...
+        state = init_train_state(
+            {"coarse": params_c, "fine": field.init(jax.random.PRNGKey(1))}, opt
+        )
+        p = str(tmp_path / "ckpt.msgpack")
+        save_native(p, state, extra={"global_step": 3})
+        # ...resumed by a fine-less config: structure mismatch.
+        fineless = init_train_state({"coarse": params_c, "fine": None}, opt)
+        with pytest.raises(ValueError, match="mismatch"):
+            load_native(p, fineless, {"global_step": 0})
+        # Same tree shape but different layer widths: leaf-shape mismatch.
+        wide_cfg = VanillaNeRFConfig(
+            netdepth=cfg.netdepth, netwidth=cfg.netwidth * 2, skips=cfg.skips,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+        )
+        wfield = make_vanilla_field(wide_cfg)
+        wide = init_train_state(
+            {"coarse": wfield.init(jax.random.PRNGKey(0)),
+             "fine": wfield.init(jax.random.PRNGKey(1))}, opt
+        )
+        with pytest.raises(ValueError, match="shape"):
+            load_native(p, wide, {"global_step": 0})

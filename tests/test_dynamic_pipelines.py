@@ -89,6 +89,29 @@ class TestDNeRFPipeline:
         monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
         train(_dyn_args(dyn_dataset, logs, ["--nerf_type", "direct_temporal", "--N_importance", "4"]))
 
+    def test_native_ckpt_resume(self, tmp_path, dyn_dataset, monkeypatch):
+        """SWNERF_CKPT_FORMAT=native through run_dnerf: the msgpack resume
+        early-return must reproduce create_dnerf's full 8-tuple (its shape
+        differs from the other trainers')."""
+        from swnerf_tpu.pipelines.run_dnerf import create_dnerf, train
+        from swnerf_tpu.utils.config import config_parser_dnerf
+
+        logs = tmp_path / "logs"
+        extra = ["--nerf_type", "direct_temporal", "--N_importance", "4"]
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "native")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs, extra))
+        exp = logs / "dyn"
+        assert (exp / "000008.msgpack").exists()
+        assert not (exp / "000008.tar").exists()
+
+        args = config_parser_dnerf().parse_args(_dyn_args(dyn_dataset, logs, extra))
+        _, _, _, _, _, state, start, _ = create_dnerf(args)
+        assert start == 8 and int(state.step) == 8
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_dyn_args(dyn_dataset, logs, extra))
+
     def test_render_only_time_sweep(self, tmp_path, dyn_dataset, monkeypatch):
         from swnerf_tpu.pipelines.run_dnerf import train
 
@@ -174,6 +197,26 @@ class TestTNeRFPipeline:
         losses = [r["loss"] for r in recs if "loss" in r]
         assert losses and all(np.isfinite(l) for l in losses)
         assert (logs / "dyn" / "000008.tar").exists()
+
+    def test_native_ckpt_resume(self, tmp_path, dyn_dataset, monkeypatch):
+        """SWNERF_CKPT_FORMAT=native through run_tnerf's 6-tuple create."""
+        from swnerf_tpu.pipelines.run_tnerf import create_tnerf, train
+        from swnerf_tpu.utils.config import config_parser_dnerf
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "native")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(_dyn_args(dyn_dataset, logs))
+        exp = logs / "dyn"
+        assert (exp / "000008.msgpack").exists()
+        assert not (exp / "000008.tar").exists()
+
+        args = config_parser_dnerf().parse_args(_dyn_args(dyn_dataset, logs))
+        _, _, _, state, start, _ = create_tnerf(args)
+        assert start == 8 and int(state.step) == 8
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_dyn_args(dyn_dataset, logs))
 
     def test_scan_dispatch_matches_per_step(self, tmp_path, dyn_dataset, monkeypatch):
         """K T-NeRF steps per lax.scan dispatch must reproduce the per-step
