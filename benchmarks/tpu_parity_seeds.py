@@ -37,20 +37,29 @@ def main():
     seeds = [int(s) for s in os.environ.get("PARITY_SEEDS", "0,1,2,3").split(",")]
     os.makedirs(out, exist_ok=True)
 
-    data = os.path.join(out, f"data_{mode}")
+    # Scene selection mirrors parity_vs_torch.py (PARITY_SCENE=textured,
+    # PARITY_BKGD=black) so both sides of a study train on identical data.
+    gt_scene = os.environ.get("PARITY_SCENE", "sphere")
+    bkgd = os.environ.get("PARITY_BKGD", "white")
+    tag = ("" if gt_scene == "sphere" else f"_{gt_scene}") + (
+        "" if bkgd == "white" else f"_{bkgd}"
+    )
+    data = os.path.join(out, f"data_{mode}{tag}")
     if not os.path.isdir(data):
         from swnerf_tpu.data.synthetic import write_blender_scene
 
         size = int(os.environ.get("PARITY_SIZE", "64"))
         write_blender_scene(
-            data, n_train=20, n_val=2, n_test=3, size=size, dynamic=(mode == "dnerf")
+            data, n_train=20, n_val=2, n_test=3, size=size,
+            dynamic=mode in ("dnerf", "tnerf", "multires"),
+            scene=gt_scene, white_bkgd=(bkgd != "black"),
         )
         print("scene written:", data)
 
     cfg, _ = pv.build_config(mode, out, data, iters)
     scene_args = ap.Namespace(
         dataset_type="blender" if mode == "nerf" else "blender_dnerf",
-        datadir=data, half_res=False, testskip=1, white_bkgd=True,
+        datadir=data, half_res=False, testskip=1, white_bkgd=(bkgd != "black"),
         render_test=False,
     )
     results = {}
