@@ -21,7 +21,7 @@ import os
 import jax.numpy as jnp
 
 from swnerf_tpu.ops.embedding import positional_encoding
-from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
+from swnerf_tpu.ops.sampling import sample_along_rays, sample_pdf_merge
 from swnerf_tpu.train.fused_step import _dists_scaled
 
 
@@ -95,12 +95,10 @@ def make_vanilla_eval_pass(mcfg, interpret: bool = False,
         )
         res = one(params, mcfg, z_vals, rc)
         if ecfg.n_importance > 0:
-            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-            z_samples = sample_pdf(
-                z_mid, res["weights"][..., 1:-1], ecfg.n_importance,
-                rng=None, det=True,
+            # det=True: bit-identical to the two-op path (sorted linspace u).
+            z_all = sample_pdf_merge(
+                z_vals, res["weights"], ecfg.n_importance, rng=None, det=True
             )
-            z_all = merge_z_vals(z_vals, z_samples)
             fcfg = mcfg
             if fine_field is not None and getattr(fine_field, "cfg", None) is not None:
                 fcfg = fine_field.cfg
@@ -195,12 +193,10 @@ def make_dnerf_eval_pass(mcfg, interpret: bool = False,
         )
         res = one(params, mcfg, z_vals, rc)
         if ecfg.n_importance > 0:
-            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-            z_samples = sample_pdf(
-                z_mid, res["weights"][..., 1:-1], ecfg.n_importance,
-                rng=None, det=True,
+            # det=True: bit-identical to the two-op path (sorted linspace u).
+            z_all = sample_pdf_merge(
+                z_vals, res["weights"], ecfg.n_importance, rng=None, det=True
             )
-            z_all = merge_z_vals(z_vals, z_samples)
             fcfg = mcfg
             if fine_field is not None and getattr(fine_field, "cfg", None) is not None:
                 fcfg = fine_field.cfg

@@ -1,5 +1,6 @@
 """The two-kernel train step: coarse fused render-loss kernel -> Pallas
-sample_pdf -> fine fused render-loss kernel -> Adam.
+sample_pdf (+sorted merge; one fused kernel under SWNERF_PDF_MERGE=1) ->
+fine fused render-loss kernel -> Adam.
 
 This is the flagship-performance path (vanilla/NeRFOriginal hierarchical
 rendering with the plain coarse+fine MSE loss, reference run.py:689-700).
@@ -22,7 +23,7 @@ import optax
 
 from swnerf_tpu.ops.embedding import positional_encoding
 from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
-from swnerf_tpu.ops.sampling import merge_z_vals, sample_along_rays, sample_pdf
+from swnerf_tpu.ops.sampling import sample_along_rays, sample_pdf_merge
 from swnerf_tpu.render.core import Rays, RenderConfig
 from swnerf_tpu.train.loop import TrainState, mse_to_psnr
 
@@ -189,13 +190,12 @@ def make_fused_train_step(
         mse0 = jnp.sum(outs_c["sqerr"]) * scale
 
         if rcfg.n_importance > 0:
-            weights = outs_c["weights"]
-            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-            z_samples = sample_pdf(
-                z_mid, weights[..., 1:-1], rcfg.n_importance,
+            # Importance-sample + sorted union; one Pallas kernel under
+            # SWNERF_PDF_MERGE=1 (measured neutral — PERFORMANCE.md).
+            z_all = sample_pdf_merge(
+                z_vals, outs_c["weights"], rcfg.n_importance,
                 rng=k_pdf, det=(rcfg.perturb == 0.0),
             )
-            z_all = merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))
 
             fine_params = (
                 state.params["fine"] if state.params.get("fine") is not None
@@ -550,13 +550,10 @@ def make_fused_dnerf_step(
             # detached. Two-model mode (coarse_contributes) trains the
             # coarse net via mse0.
             if rcfg.n_importance > 0:
-                weights = jax.lax.stop_gradient(aux_c["weights"])
-                z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-                z_samples = sample_pdf(
-                    z_mid, weights[..., 1:-1], rcfg.n_importance,
-                    rng=k_pdf, det=(rcfg.perturb == 0.0),
+                z_all = sample_pdf_merge(
+                    z_vals, jax.lax.stop_gradient(aux_c["weights"]),
+                    rcfg.n_importance, rng=k_pdf, det=(rcfg.perturb == 0.0),
                 )
-                z_all = merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))
                 pts_f = pts_of(z_all)
                 if add_tv_loss:
                     dx_f, dx_n = dx_pair(pf["time_net"], f_ccfg, pts_f, t_col, nt_col)
