@@ -1,0 +1,96 @@
+"""AOT export (utils/export.py): serialize -> deserialize -> same pixels.
+
+The artifact must reproduce the deterministic eval render bit-for-bit
+(same program, same platform) and be self-contained (deserialization
+never touches swnerf model code)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
+from swnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_field
+from swnerf_tpu.render import RenderConfig, Rays
+from swnerf_tpu.render.core import render_rays
+from swnerf_tpu.utils.export import export_renderer, load_renderer
+
+
+def _rays(n, with_t=False, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 4.0
+    t = (
+        jnp.asarray(rng.uniform(0, 1, (n, 1)).astype(np.float32))
+        if with_t
+        else None
+    )
+    return Rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(d),
+                jnp.full((n,), 2.0), jnp.full((n,), 6.0), t)
+
+
+class TestExportRenderer:
+    def test_vanilla_roundtrip_matches_render_rays(self, tmp_path):
+        cfg = VanillaNeRFConfig(netdepth=2, netwidth=16, skips=(),
+                                multires=4, multires_views=2)
+        rcfg = RenderConfig(n_samples=8, n_importance=8, perturb=1.0,
+                            white_bkgd=True, raw_noise_std=1.0)
+        field = make_vanilla_field(cfg, fused=False)
+        params = {"coarse": field.init(jax.random.PRNGKey(0)),
+                  "fine": field.init(jax.random.PRNGKey(1))}
+        n = 32
+        blob = export_renderer(field, params, rcfg, n)
+
+        # File round-trip: the artifact is plain bytes.
+        p = tmp_path / "renderer.jaxexport"
+        p.write_bytes(blob)
+        call = load_renderer(p.read_bytes())
+
+        rays = _rays(n)
+        rgb, disp, acc, depth = call(
+            params, rays.origins, rays.directions, rays.viewdirs,
+            rays.near, rays.far,
+        )
+        want = render_rays(field, params["coarse"], rays, rcfg.eval_mode(),
+                           rng=None, fine_params=params["fine"])
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(want["rgb"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(disp), np.asarray(want["disp"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(want["acc"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(want["depth"]), atol=1e-6)
+
+    def test_dnerf_with_times(self):
+        cfg = DNeRFConfig(netdepth=3, netwidth=16, skips=(1,), multires=2,
+                          multires_views=1)
+        rcfg = RenderConfig(n_samples=8, n_importance=0, perturb=0.0,
+                            white_bkgd=True)
+        field = make_dnerf_field(cfg, fused=False)
+        params = {"coarse": field.init(jax.random.PRNGKey(0)), "fine": None}
+        n = 16
+        blob = export_renderer(field, params, rcfg, n, with_times=True)
+        call = load_renderer(blob)
+
+        rays = _rays(n, with_t=True)
+        rgb, disp, acc, depth = call(
+            params, rays.origins, rays.directions, rays.viewdirs,
+            rays.near, rays.far, rays.times,
+        )
+        want = render_rays(field, params["coarse"], rays, rcfg.eval_mode(),
+                           rng=None)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(want["rgb"]), atol=1e-6)
+        assert np.isfinite(np.asarray(depth)).all()
+
+    def test_wrong_batch_size_rejected(self):
+        cfg = VanillaNeRFConfig(netdepth=2, netwidth=16, skips=(),
+                                multires=4, multires_views=2)
+        rcfg = RenderConfig(n_samples=8, n_importance=0, perturb=0.0)
+        field = make_vanilla_field(cfg, fused=False)
+        params = {"coarse": field.init(jax.random.PRNGKey(0)), "fine": None}
+        call = load_renderer(export_renderer(field, params, rcfg, 16))
+        rays = _rays(8)
+        with pytest.raises(Exception):
+            jax.block_until_ready(call(
+                params, rays.origins, rays.directions, rays.viewdirs,
+                rays.near, rays.far,
+            ))
