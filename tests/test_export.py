@@ -94,3 +94,54 @@ class TestExportRenderer:
                 params, rays.origins, rays.directions, rays.viewdirs,
                 rays.near, rays.far,
             ))
+
+
+class TestExportModelCLI:
+    def test_train_then_export_then_serve(self, tmp_path, monkeypatch):
+        """e2e: train a few iters, export via the CLI, reload the blob and
+        render the artifact's fixed-size batch from the trained params."""
+        from tests.test_config_data import _write_blender_dataset
+        from swnerf_tpu.pipelines.export_model import main as export_main
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=3, size=8)
+        logs = tmp_path / "logs"
+        base = [
+            "--expname", "tiny", "--basedir", str(logs),
+            "--datadir", str(data), "--dataset_type", "blender",
+            "--white_bkgd", "--use_viewdirs",
+            "--netdepth", "2", "--netwidth", "32",
+            "--netdepth_fine", "2", "--netwidth_fine", "32",
+            "--multires", "4", "--multires_views", "2",
+            "--N_rand", "16", "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "64", "--testskip", "1",
+            "--i_weights", "10", "--i_print", "5",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--precrop_iters", "0",
+        ]
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(base)
+
+        out = tmp_path / "renderer.jaxexport"
+        export_main(["--export_out", str(out), "--export_rays", "16"] + base)
+        assert out.exists() and out.stat().st_size > 0
+
+        # Serve: auto-resume the params the CLI exported against, call the
+        # artifact.
+        from swnerf_tpu.pipelines.run_nerf import create_vanilla
+        from swnerf_tpu.utils.config import config_parser
+        from swnerf_tpu.utils.export import load_renderer
+
+        args = config_parser().parse_args(base)
+        _, _, _, _, state, start, _ = create_vanilla(args)
+        assert start == 10
+        call = load_renderer(out.read_bytes())
+        rays = _rays(16)
+        rgb, disp, acc, depth = call(
+            state.params, rays.origins, rays.directions, rays.viewdirs,
+            rays.near, rays.far,
+        )
+        assert np.asarray(rgb).shape == (16, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
+        assert np.isfinite(np.asarray(depth)).all()
