@@ -12,11 +12,15 @@ flags are stripped before the reference parser sees the argv):
 
     python -m swnerf_tpu.pipelines.export_model --config configs/lego.txt \
         --export_out logs/lego/renderer.jaxexport \
-        --export_rays 8192 [--export_platforms tpu,cpu] [--export_fused]
+        --export_rays 8192 [--export_mode nerf|dnerf|tnerf] \
+        [--export_platforms tpu,cpu] [--export_fused]
 
-``--export_rays`` fixes the artifact's static ray-batch size (callers
-tile/pad frames, exactly as render_image does). By default the field is
-rebuilt ``fused=False`` so the artifact is pure StableHLO (portable via
+``--export_mode`` picks the checkpoint family: ``nerf`` (vanilla flag
+set) or ``dnerf``/``tnerf`` (the dnerf flag set; time-conditioned
+artifacts take a trailing ``times [n, 1]`` operand). ``--export_rays``
+fixes the artifact's static ray-batch size (callers tile/pad frames,
+exactly as render_image does). By default fields are rebuilt
+``fused=False`` so the artifact is pure StableHLO (portable via
 ``--export_platforms``); ``--export_fused`` keeps the session field as-is
 (on TPU that embeds Mosaic custom calls — TPU-only artifacts).
 """
@@ -26,39 +30,77 @@ from __future__ import annotations
 import argparse
 
 
+def _load(mode, rest, fused):
+    """(field, fine_field, rcfg, state, start, with_times) for the mode."""
+    if mode == "nerf":
+        from swnerf_tpu.models import make_vanilla_field
+        from swnerf_tpu.pipelines.run_nerf import create_vanilla
+        from swnerf_tpu.utils.config import config_parser
+
+        args = config_parser().parse_args(rest)
+        field, ffield, rcfg, _o, state, start, (mcfg, fcfg) = create_vanilla(args)
+        if not fused:
+            field = make_vanilla_field(mcfg, fused=False)
+            if fcfg is not None:
+                ffield = make_vanilla_field(fcfg, fused=False)
+        return field, ffield, rcfg, state, start, False
+    if mode == "dnerf":
+        from swnerf_tpu.models.dnerf import make_dnerf_field, make_nerf_original_field
+        from swnerf_tpu.pipelines.run_dnerf import create_dnerf
+        from swnerf_tpu.utils.config import config_parser_dnerf
+
+        args = config_parser_dnerf().parse_args(rest)
+        field, ffield, kind, rcfg, _o, state, start, (mcfg, fcfg) = create_dnerf(args)
+        mk = make_dnerf_field if kind == "direct_temporal" else make_nerf_original_field
+        if not fused:
+            field = mk(mcfg, fused=False)
+            if fcfg is not None:
+                ffield = mk(fcfg, fused=False)
+        # NeRFOriginal ignores times; DirectTemporal consumes them — both
+        # accept the operand (models/dnerf.py apply signatures).
+        return field, ffield, rcfg, state, start, kind == "direct_temporal"
+    if mode == "tnerf":
+        from swnerf_tpu.models.tnerf import make_tnerf_field
+        from swnerf_tpu.pipelines.run_tnerf import create_tnerf
+        from swnerf_tpu.utils.config import config_parser_dnerf
+
+        args = config_parser_dnerf().parse_args(rest)
+        field, rcfg, _o, state, start, mcfg = create_tnerf(args)
+        if not fused:
+            field = make_tnerf_field(mcfg, fused=False)
+        return field, None, rcfg, state, start, True
+    raise ValueError(f"--export_mode {mode!r} not recognized")
+
+
 def main(argv=None):
-    from swnerf_tpu.models import make_vanilla_field
-    from swnerf_tpu.pipelines.run_nerf import create_vanilla
-    from swnerf_tpu.utils.config import config_parser
     from swnerf_tpu.utils.export import export_renderer
 
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--export_out", required=True)
     ap.add_argument("--export_rays", type=int, default=8192)
+    ap.add_argument("--export_mode", default="nerf",
+                    choices=("nerf", "dnerf", "tnerf"))
     ap.add_argument("--export_platforms", default=None,
                     help="comma-separated lowering platforms, e.g. tpu,cpu")
     ap.add_argument("--export_fused", action="store_true")
     own, rest = ap.parse_known_args(argv)
 
-    args = config_parser().parse_args(rest)
-    field, fine_field, rcfg, _opt, state, start, (mcfg, fcfg) = create_vanilla(args)
-    if not own.export_fused:
-        field = make_vanilla_field(mcfg, fused=False)
-        if fcfg is not None:
-            fine_field = make_vanilla_field(fcfg, fused=False)
-
+    field, fine_field, rcfg, state, start, with_times = _load(
+        own.export_mode, rest, own.export_fused
+    )
     platforms = (
         own.export_platforms.split(",") if own.export_platforms else None
     )
     blob = export_renderer(
         field, state.params, rcfg, own.export_rays,
-        fine_field=fine_field, platforms=platforms,
+        fine_field=fine_field, platforms=platforms, with_times=with_times,
     )
     with open(own.export_out, "wb") as f:
         f.write(blob)
     print(
-        f"Exported {args.expname} @ iter {start} -> {own.export_out} "
+        f"Exported {own.export_mode} @ iter {start} -> {own.export_out} "
         f"({len(blob)} bytes, {own.export_rays} rays"
+        f"{', times operand' if with_times else ''}"
         f"{', platforms ' + own.export_platforms if own.export_platforms else ''})"
     )
     return own.export_out
