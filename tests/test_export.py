@@ -190,3 +190,45 @@ class TestExportModelCLI:
         )
         assert np.asarray(rgb).shape == (8, 3)
         assert np.isfinite(np.asarray(rgb)).all()
+
+    def test_export_tnerf_mode(self, tmp_path, monkeypatch):
+        """--export_mode tnerf: single time-conditioned pass artifact."""
+        from tests.test_config_data import _write_blender_dataset
+        from swnerf_tpu.pipelines.export_model import main as export_main
+        from swnerf_tpu.pipelines.run_tnerf import create_tnerf, train
+        from swnerf_tpu.utils.config import config_parser_dnerf
+        from swnerf_tpu.utils.export import load_renderer
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=5, size=8, dynamic=True)
+        logs = tmp_path / "logs"
+        base = [
+            "--expname", "dyn", "--basedir", str(logs),
+            "--datadir", str(data), "--dataset_type", "blender",
+            "--white_bkgd", "--use_viewdirs",
+            "--netdepth", "2", "--netwidth", "16",
+            "--multires", "2", "--multires_views", "1",
+            "--N_rand", "16", "--N_samples", "6", "--chunk", "64",
+            "--testskip", "1", "--i_weights", "8", "--i_print", "4",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--i_img", "100000", "--precrop_iters_time", "0",
+            "--no_batching",
+        ]
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        train(base)
+
+        out = tmp_path / "tnerf.jaxexport"
+        export_main(["--export_out", str(out), "--export_rays", "8",
+                     "--export_mode", "tnerf"] + base)
+
+        args = config_parser_dnerf().parse_args(base)
+        _, _, _, state, start, _ = create_tnerf(args)
+        assert start == 8
+        call = load_renderer(out.read_bytes())
+        rays = _rays(8, with_t=True)
+        rgb, disp, acc, depth = call(
+            state.params, rays.origins, rays.directions, rays.viewdirs,
+            rays.near, rays.far, rays.times,
+        )
+        assert np.asarray(rgb).shape == (8, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
