@@ -20,6 +20,11 @@ Portability note: the exported program contains whatever the field's
 ``apply`` lowers to. Fields built with ``fused=False`` lower to pure
 StableHLO (portable across platforms via ``platforms=[...]``); fused
 fields embed Mosaic TPU custom calls, which only run on TPU.
+
+MultiRes is served per level: each pyramid level is a DirectTemporalNeRF
+field, so export one artifact per level with its own cfg/params and
+reconstruct with ``ops.pyramid.reconstruct_from_pyramid`` host-side
+(there is no single-artifact mode — the per-level ray counts differ).
 """
 
 from __future__ import annotations
