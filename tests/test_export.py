@@ -232,3 +232,25 @@ class TestExportModelCLI:
         )
         assert np.asarray(rgb).shape == (8, 3)
         assert np.isfinite(np.asarray(rgb)).all()
+
+
+class TestCrossPlatform:
+    def test_multi_platform_artifact_runs_on_cpu(self):
+        """platforms=["cpu","tpu"]: one artifact lowered for both; the cpu
+        branch executes here (the tpu branch ships in the same blob)."""
+        cfg = VanillaNeRFConfig(netdepth=2, netwidth=16, skips=(),
+                                multires=4, multires_views=2)
+        rcfg = RenderConfig(n_samples=8, n_importance=0, perturb=0.0,
+                            white_bkgd=True)
+        field = make_vanilla_field(cfg, fused=False)
+        params = {"coarse": field.init(jax.random.PRNGKey(0)), "fine": None}
+        blob = export_renderer(field, params, rcfg, 8,
+                               platforms=["cpu", "tpu"])
+        call = load_renderer(blob)
+        rays = _rays(8)
+        rgb, _, _, _ = call(params, rays.origins, rays.directions,
+                            rays.viewdirs, rays.near, rays.far)
+        want = render_rays(field, params["coarse"], rays, rcfg.eval_mode(),
+                           rng=None)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(want["rgb"]),
+                                   atol=1e-6)
