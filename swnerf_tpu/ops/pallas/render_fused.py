@@ -615,11 +615,21 @@ def fused_render_pass(
     vemb_p = jnp.zeros((Np, 128), jnp.float32).at[:, : vemb.shape[-1]].set(
         vemb.astype(jnp.float32)
     )
-    aux = jnp.stack(
-        [pad_rays(dists_scaled).reshape(-1), pad_rays(noise).reshape(-1),
-         pad_rays(z_vals).reshape(-1)], axis=-1,
-    ).astype(jnp.float32)
-    aux_p = jnp.zeros((P, 8), jnp.float32).at[:, :3].set(aux)
+    # Column-concat, NOT stack->pad: stacking three [P] vectors then
+    # padding into [P, 8] makes XLA materialize a layout-changing copy +
+    # select + pad (~0.6 ms/step at lego shapes, the profiler-visible glue
+    # of benchmarks/tpu_profile_step.py); the [P, 1]-column concatenate
+    # lowers to one fused write and measures +3.6% on the vanilla step
+    # (30.77M vs 29.70M, benchmarks A/B in PERFORMANCE.md).
+    aux_p = jnp.concatenate(
+        [
+            pad_rays(dists_scaled).reshape(P, 1).astype(jnp.float32),
+            pad_rays(noise).reshape(P, 1).astype(jnp.float32),
+            pad_rays(z_vals).reshape(P, 1).astype(jnp.float32),
+            jnp.zeros((P, 5), jnp.float32),
+        ],
+        axis=1,
+    )
     tgt_p = (
         jnp.zeros((Np, 128), jnp.float32)
         .at[:N, :3].set(target)
