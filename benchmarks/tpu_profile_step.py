@@ -13,8 +13,15 @@ coarse render kernel 1.90 ms = 90.6%; all other XLA ops 0.78 ms (9.3%;
 top: pad 0.154, copy 0.155, broadcast_select 0.134, sample_pdf custom
 call 0.038, z-union sort 0.038, Adam fusions ~0.1); total inter-op GAP
 0.33 ms over the whole 430 ms dispatch (0.08%) — the device never idles
-inside the dispatch, so the 29.7M plateau lives INSIDE the Mosaic
+inside the dispatch, so the throughput plateau lives INSIDE the Mosaic
 kernels (their internal MXU/VPU mix), not in scheduling around them.
+
+The trace's actionable item (the aux stack->pad chain) was rewritten as
+a column concat for +3.6% (PERFORMANCE.md); the post-adoption re-run
+shows glue down 0.80 -> 0.49 ms/step with kernels unchanged — the
+largest residue is a 0.155 ms [P,3] layout copy under the dists chain
+(pad_maximum -> T(8,128) relayout), i.e. ~1.8% of the step, the last
+out-of-kernel morsel.
 
 Writes the trace under /tmp/prof_scan_trace and a JSON summary to
 /tmp/tpu_profile_step.json.
