@@ -599,17 +599,28 @@ def _bwd_kernel_raw(pts_ref, vd_ref, g_ref, *refs, D: int, skip: int, W: int,
 # ---------------------------------------------------------------------------
 
 
-def _vmem_params():
+def _vmem_params(vmem_mb: int):
     """Mosaic's default VMEM budget is conservative (the v5e core has far
     more than the 16 MB the round-1/2 notes assumed — R=8..32 render tiles
-    compile and RUN once the cap is raised). SWNERF_FUSED_VMEM_MB > 0
-    raises the per-kernel cap; an over-ask fails loudly at compile."""
-    import os
-
-    vmem_mb = int(os.environ.get("SWNERF_FUSED_VMEM_MB", "0"))
+    compile and RUN once the cap is raised). vmem_mb > 0 raises the
+    per-kernel cap; an over-ask fails loudly at compile."""
     if vmem_mb > 0:
         return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)}
     return {}
+
+
+def _resolve_vmem_mb(vmem_mb) -> int:
+    """Resolve the per-kernel VMEM cap at the PUBLIC-wrapper call site so
+    SWNERF_FUSED_VMEM_MB participates in trace caching like the render
+    kernels' jit-static cap (render_fused.py). The default here is 0 (keep
+    the Mosaic default), NOT render_fused's 100: these kernels' 512-row
+    backward blocks fit the default budget and raising unneeded caps
+    measured neutral-to-slower (PERFORMANCE.md round-3 sweep rows)."""
+    if vmem_mb is not None:
+        return int(vmem_mb)
+    import os
+
+    return int(os.environ.get("SWNERF_FUSED_VMEM_MB", "0"))
 
 
 def _bwd_block(dtype, block: int, raw: bool = False) -> int:
@@ -633,7 +644,7 @@ def _tile_spec(block, lanes=128):
     return pl.BlockSpec((block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
+def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P, vmem_mb=0):
     # fp32 (HIGHEST-precision) matmuls need extra multi-pass scratch.
     if flat[0].dtype == jnp.float32:
         block = min(block, 1024)
@@ -649,11 +660,12 @@ def _run_fwd(kernel, tiles, consts, flat, meta, block, interpret, P):
         + _const_specs(flat),
         out_specs=_tile_spec(block),
         interpret=interpret,
-        **_vmem_params(),
+        **_vmem_params(vmem_mb),
     )(*tiles, *consts, *flat)
 
 
-def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lanes):
+def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lanes,
+             vmem_mb=0):
     block = _bwd_block(flat[0].dtype, block, raw=bool(consts))
     out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in flat]
     out_specs = _const_specs(flat)
@@ -674,7 +686,7 @@ def _run_bwd(kernel, tiles, g, consts, flat, meta, block, interpret, P, din_lane
         + _const_specs(flat),
         out_specs=tuple(out_specs),
         interpret=interpret,
-        **_vmem_params(),
+        **_vmem_params(vmem_mb),
     )(*tiles, g, *consts, *flat)
     dflat = [d.astype(f.dtype) for d, f in zip(outs[: len(flat)], flat)]
     return dflat, outs[len(flat) :]
@@ -694,6 +706,7 @@ def fused_trunk(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     need_input_grads: bool = True,
+    vmem_mb: int = None,
 ) -> jnp.ndarray:
     """Fused trunk on embedded inputs: [..., in_ch], [..., in_ch_views] ->
     raw [..., 4]. Differentiable (Pallas backward).
@@ -718,34 +731,36 @@ def fused_trunk(
     flat, meta = pack_params(params, cfg, dtype=compute_dtype)
     out = _trunk_call(
         tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
-        "relu", False, need_input_grads,
+        "relu", False, need_input_grads, _resolve_vmem_mb(vmem_mb),
     )
     return out[:n, :4].reshape(*lead, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
-                need_din=True):
+                need_din=True, vmem_mb=0):
     meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu}
     P = emb_p.shape[0]
-    return _run_fwd(_fwd_kernel, [emb_p, vemb_p], [], list(flat), meta, block, interpret, P)
+    return _run_fwd(_fwd_kernel, [emb_p, vemb_p], [], list(flat), meta, block, interpret, P,
+                    vmem_mb=vmem_mb)
 
 
 def _trunk_call_fwd(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
-                    need_din):
+                    need_din, vmem_mb):
     out = _trunk_call(flat, emb_p, vemb_p, D, skip, W, block, interpret, act, rgb_relu,
-                      need_din)
+                      need_din, vmem_mb)
     return out, (flat, emb_p, vemb_p)
 
 
-def _trunk_call_bwd(D, skip, W, block, interpret, act, rgb_relu, need_din, res, g):
+def _trunk_call_bwd(D, skip, W, block, interpret, act, rgb_relu, need_din, vmem_mb,
+                    res, g):
     flat, emb_p, vemb_p = res
     meta = {"D": D, "skip": skip, "W": W, "act": act, "rgb_relu": rgb_relu,
             "need_din": need_din}
     P = emb_p.shape[0]
     dflat, (demb, dvemb) = _run_bwd(
         _bwd_kernel, [emb_p, vemb_p], g, [], list(flat), meta, block, interpret, P,
-        din_lanes=[emb_p.shape[1], vemb_p.shape[1]],
+        din_lanes=[emb_p.shape[1], vemb_p.shape[1]], vmem_mb=vmem_mb,
     )
     return tuple(dflat), demb.astype(emb_p.dtype), dvemb.astype(vemb_p.dtype)
 
@@ -810,6 +825,7 @@ def fused_time_net(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     need_input_grads: bool = True,
+    vmem_mb: int = None,
 ) -> jnp.ndarray:
     """Fused deformation MLP: (embed(x) [..., in_ch], embed(t)
     [..., in_ch_t]) -> dx [..., 3]."""
@@ -827,7 +843,7 @@ def fused_time_net(
     flat, meta = pack_time_params(tp, cfg, dtype=compute_dtype)
     out = _plain_call(
         tuple(flat), emb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
-        need_input_grads,
+        need_input_grads, _resolve_vmem_mb(vmem_mb),
     )
     return out[:n, :3].reshape(*lead, 3)
 
@@ -841,6 +857,7 @@ def fused_time_net_pts(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     need_input_grads: bool = False,
+    vmem_mb: int = None,
 ) -> jnp.ndarray:
     """Deformation MLP with the encode IN-KERNEL: raw pts [..., 3] +
     per-point times [..., 1] -> dx [..., 3]. Replaces fused_time_net's
@@ -866,33 +883,36 @@ def fused_time_net_pts(
     flat, meta = pack_time_params(tp, cfg, dtype=compute_dtype)
     out = _plain_raw_call(
         tuple(flat), x8, consts, meta["D"], meta["skip"], meta["W"], block,
-        interpret, need_input_grads,
+        interpret, need_input_grads, _resolve_vmem_mb(vmem_mb),
     )
     return out[:n, :3].reshape(*lead, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din=False,
+                    vmem_mb=0):
     meta = {"D": D, "skip": skip, "W": W}
     P = x8.shape[0]
     return _run_fwd(
         _fwd_kernel_plain_raw, [x8], list(consts), list(flat), meta, block,
-        interpret, P,
+        interpret, P, vmem_mb=vmem_mb,
     )
 
 
-def _plain_raw_call_fwd(flat, x8, consts, D, skip, W, block, interpret, need_din):
-    out = _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din)
+def _plain_raw_call_fwd(flat, x8, consts, D, skip, W, block, interpret, need_din,
+                        vmem_mb):
+    out = _plain_raw_call(flat, x8, consts, D, skip, W, block, interpret, need_din,
+                          vmem_mb)
     return out, (flat, x8, consts)
 
 
-def _plain_raw_call_bwd(D, skip, W, block, interpret, need_din, res, g):
+def _plain_raw_call_bwd(D, skip, W, block, interpret, need_din, vmem_mb, res, g):
     flat, x8, consts = res
     meta = {"D": D, "skip": skip, "W": W, "need_din": need_din}
     P = x8.shape[0]
     dflat, (dx8,) = _run_bwd(
         _bwd_kernel_plain_raw, [x8], g, list(consts), list(flat), meta, block,
-        interpret, P, din_lanes=[8],
+        interpret, P, din_lanes=[8], vmem_mb=vmem_mb,
     )
     dconsts = jax.tree.map(jnp.zeros_like, consts)
     return tuple(dflat), dx8, dconsts
@@ -901,25 +921,26 @@ def _plain_raw_call_bwd(D, skip, W, block, interpret, need_din, res, g):
 _plain_raw_call.defvjp(_plain_raw_call_fwd, _plain_raw_call_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din=True, vmem_mb=0):
     meta = {"D": D, "skip": skip, "W": W}
     P = emb_p.shape[0]
-    return _run_fwd(_fwd_kernel_plain, [emb_p], [], list(flat), meta, block, interpret, P)
+    return _run_fwd(_fwd_kernel_plain, [emb_p], [], list(flat), meta, block, interpret, P,
+                    vmem_mb=vmem_mb)
 
 
-def _plain_call_fwd(flat, emb_p, D, skip, W, block, interpret, need_din):
-    out = _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din)
+def _plain_call_fwd(flat, emb_p, D, skip, W, block, interpret, need_din, vmem_mb):
+    out = _plain_call(flat, emb_p, D, skip, W, block, interpret, need_din, vmem_mb)
     return out, (flat, emb_p)
 
 
-def _plain_call_bwd(D, skip, W, block, interpret, need_din, res, g):
+def _plain_call_bwd(D, skip, W, block, interpret, need_din, vmem_mb, res, g):
     flat, emb_p = res
     meta = {"D": D, "skip": skip, "W": W, "need_din": need_din}
     P = emb_p.shape[0]
     dflat, (demb,) = _run_bwd(
         _bwd_kernel_plain, [emb_p], g, [], list(flat), meta, block, interpret, P,
-        din_lanes=[emb_p.shape[1]],
+        din_lanes=[emb_p.shape[1]], vmem_mb=vmem_mb,
     )
     return tuple(dflat), demb.astype(emb_p.dtype)
 
@@ -940,6 +961,7 @@ def fused_field_raw(
     block: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    vmem_mb: int = None,
 ) -> jnp.ndarray:
     """Full fused field: raw pts [..., 3] + per-point viewdirs [..., 3] ->
     raw [..., 4]; the Fourier encoding runs inside the kernels."""
@@ -957,32 +979,34 @@ def fused_field_raw(
     consts = build_embed_consts(cfg.nf_pts) + build_embed_consts(cfg.nf_views)
     consts = tuple(jnp.asarray(c) for c in consts)
     out = _raw_call(
-        tuple(flat), pts8, vd8, consts, meta["D"], meta["skip"], meta["W"], block, interpret
+        tuple(flat), pts8, vd8, consts, meta["D"], meta["skip"], meta["W"], block,
+        interpret, _resolve_vmem_mb(vmem_mb),
     )
     return out[:n, :4].reshape(*lead, 4)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret, vmem_mb=0):
     meta = {"D": D, "skip": skip, "W": W}
     P = pts8.shape[0]
     return _run_fwd(
-        _fwd_kernel_raw, [pts8, vd8], list(consts), list(flat), meta, block, interpret, P
+        _fwd_kernel_raw, [pts8, vd8], list(consts), list(flat), meta, block, interpret, P,
+        vmem_mb=vmem_mb,
     )
 
 
-def _raw_call_fwd(flat, pts8, vd8, consts, D, skip, W, block, interpret):
-    out = _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret)
+def _raw_call_fwd(flat, pts8, vd8, consts, D, skip, W, block, interpret, vmem_mb):
+    out = _raw_call(flat, pts8, vd8, consts, D, skip, W, block, interpret, vmem_mb)
     return out, (flat, pts8, vd8, consts)
 
 
-def _raw_call_bwd(D, skip, W, block, interpret, res, g):
+def _raw_call_bwd(D, skip, W, block, interpret, vmem_mb, res, g):
     flat, pts8, vd8, consts = res
     meta = {"D": D, "skip": skip, "W": W}
     P = pts8.shape[0]
     dflat, (dpts8, dvd8) = _run_bwd(
         _bwd_kernel_raw, [pts8, vd8], g, list(consts), list(flat), meta, block,
-        interpret, P, din_lanes=[8, 8],
+        interpret, P, din_lanes=[8, 8], vmem_mb=vmem_mb,
     )
     dconsts = jax.tree.map(jnp.zeros_like, consts)
     return tuple(dflat), dpts8, dvd8, dconsts
@@ -1077,6 +1101,7 @@ def fused_tnerf(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     need_input_grads: bool = True,
+    vmem_mb: int = None,
 ) -> jnp.ndarray:
     """Fused T-NeRF field on embedded inputs -> raw [..., 4] (rgb after the
     ReLU color head, sigma). Differentiable (shared Pallas backward with ELU
@@ -1099,6 +1124,6 @@ def fused_tnerf(
     flat, meta = pack_tnerf_params(params, cfg, dtype=compute_dtype)
     out = _trunk_call(
         tuple(flat), emb_p, vemb_p, meta["D"], meta["skip"], meta["W"], block, interpret,
-        "elu", True, need_input_grads,
+        "elu", True, need_input_grads, _resolve_vmem_mb(vmem_mb),
     )
     return out[:n, :4].reshape(*lead, 4)

@@ -27,6 +27,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _pallas_sample_pdf_enabled() -> bool:
+    """One dispatch rule for every hierarchical-sampling entry point:
+    SWNERF_PALLAS_SAMPLE_PDF=1 forces the Pallas kernels, =0 forces jnp,
+    unset defaults to Pallas on TPU only."""
+    flag = os.environ.get("SWNERF_PALLAS_SAMPLE_PDF")
+    return flag == "1" or (flag is None and jax.devices()[0].platform == "tpu")
+
+
 def sample_along_rays(
     rng: Optional[jax.Array],
     near: jnp.ndarray,
@@ -98,8 +106,7 @@ def sample_pdf(
     Returns:
       samples: [N, n_samples].
     """
-    flag = os.environ.get("SWNERF_PALLAS_SAMPLE_PDF")
-    if flag == "1" or (flag is None and jax.devices()[0].platform == "tpu"):
+    if _pallas_sample_pdf_enabled():
         # Fused Pallas kernel (ops/pallas/sample_pdf.py): identical sample
         # values, but declared non-differentiable (every consumer detaches
         # the positions — reference run.py:398) — which also spares XLA from
@@ -179,15 +186,12 @@ def sample_pdf_merge(
     identical z_all distribution (the sorted union depends on the set of
     uniforms only). ``det=True`` output is bit-identical on both paths.
     """
-    flag = os.environ.get("SWNERF_PALLAS_SAMPLE_PDF")
-    pallas_on = flag == "1" or (flag is None and jax.devices()[0].platform == "tpu")
-    if pallas_on and os.environ.get("SWNERF_PDF_MERGE", "0") == "1":
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if _pallas_sample_pdf_enabled() and os.environ.get("SWNERF_PDF_MERGE", "0") == "1":
         from swnerf_tpu.ops.pallas.sample_pdf import sample_pdf_merge_pallas
 
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         return sample_pdf_merge_pallas(
             z_vals, z_mid, weights[..., 1:-1], n_samples, rng=rng, det=det
         )
-    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_samples = sample_pdf(z_mid, weights[..., 1:-1], n_samples, rng=rng, det=det)
     return merge_z_vals(z_vals, jax.lax.stop_gradient(z_samples))

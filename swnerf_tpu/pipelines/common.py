@@ -437,6 +437,53 @@ def chunk_until_event(i: int, n_iters: int, k_max: int, cadences) -> int:
     return max(1, k)
 
 
+class DeadInitWatchdog:
+    """Warn once when a run's PSNR sits flat AT the constant-background floor.
+
+    The torch-default / kaiming init leaves the density head's output at its
+    bias on a per-seed coin flip; a negative draw is ReLU-dead with exactly
+    zero gradients and the run renders the constant background forever
+    (PERFORMANCE.md 'Seed pathology' — the reference shares the init and the
+    failure mode; its documented remedy is ``--raw_noise_std 1e0``,
+    regression-tested in tests/test_train.py). All four trainer families use
+    the same density-head init, so every CLI feeds its printed PSNR here.
+
+    The pathology is flatness AT the floor — a converged run that plateaus
+    high must not trip this (the floor is ~11-14 dB on the reference scenes;
+    a live run blows past 16 dB within the first few hundred iters).
+    """
+
+    def __init__(self, print_cadence: int, min_iter: int = 500,
+                 window: int = 8, floor_db: float = 16.0):
+        self.print_cadence = int(print_cadence) if print_cadence else 1
+        self.min_iter = min_iter
+        self.window = window
+        self.floor_db = floor_db
+        self.history: list = []
+        self.warned = False
+
+    def check(self, i: int, psnr: float) -> None:
+        self.history.append(float(psnr))
+        del self.history[: -self.window]
+        if self.warned or i < self.min_iter:
+            return
+        if (
+            len(self.history) >= self.window
+            and max(self.history) < self.floor_db
+            and max(self.history) - min(self.history) < 0.02
+        ):
+            self.warned = True
+            print(
+                f"[WARN] PSNR has been flat at {psnr:.2f} dB for "
+                f"{self.window * self.print_cadence} iters — this seed likely "
+                "drew the dead-density init (zero gradients; the model renders "
+                "the constant background). Restart with a different seed, add "
+                "`--raw_noise_std 1e0` (the reference's remedy), or set "
+                "SWNERF_SAFE_INIT=1 to remove the coin flip at the source "
+                "(see PERFORMANCE.md 'Seed pathology')."
+            )
+
+
 # ---------------------------------------------------------------------------
 # Path rendering + eval
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ import optax
 
 from swnerf_tpu.models import DNeRFConfig, make_dnerf_field, make_nerf_original_field
 from swnerf_tpu.pipelines.common import (
+    DeadInitWatchdog,
     ImageSampler,
     load_scene,
     render_path,
@@ -390,41 +391,7 @@ def train(argv=None):
 
     cadences = (args.i_weights, args.i_print, args.i_img, args.i_video, args.i_testset)
 
-    # Dead-init watchdog (PERFORMANCE.md seed pathology): the torch-default /
-    # kaiming init leaves the density head's output at its bias on a per-seed
-    # coin flip; a negative draw is ReLU-dead with exactly zero gradients and
-    # the run renders the constant background forever. The reference shares
-    # the init and the failure mode; its documented remedy is
-    # ``--raw_noise_std 1e0`` (regression-tested in tests/test_train.py).
-    psnr_history: list = []
-    dead_init_warned = [False]
-
-    def check_dead_init(j, psnr):
-        if dead_init_warned[0] or j < 500:
-            psnr_history.append(psnr)
-            del psnr_history[:-8]
-            return
-        psnr_history.append(psnr)
-        del psnr_history[:-8]
-        # The pathology is flatness AT the constant-background floor — a
-        # converged run that plateaus high must not trip this (the floor is
-        # ~11-14 dB on the reference scenes; a live run blows past 16 dB
-        # within the first few hundred iters).
-        if (
-            len(psnr_history) >= 8
-            and max(psnr_history) < 16.0
-            and max(psnr_history) - min(psnr_history) < 0.02
-        ):
-            dead_init_warned[0] = True
-            print(
-                f"[WARN] PSNR has been flat at {psnr:.2f} dB for "
-                f"{8 * args.i_print} iters — this seed likely drew the "
-                "dead-density init (zero gradients; the model renders the "
-                "constant background). Restart with a different seed, add "
-                "`--raw_noise_std 1e0` (the reference's remedy), or set "
-                "SWNERF_SAFE_INIT=1 to remove the coin flip at the source "
-                "(see PERFORMANCE.md 'Seed pathology')."
-            )
+    watchdog = DeadInitWatchdog(args.i_print)
 
     def flush_pending(pending):
         # One-boundary-behind metric fetch keeps the dispatch pipeline full
@@ -439,7 +406,7 @@ def train(argv=None):
         if "tv" in m:
             txt += f" TV: {m['tv']:.6f}"
         print(txt)
-        check_dead_init(j, m["psnr"])
+        watchdog.check(j, m["psnr"])
 
     print("Begin")
     pending = None

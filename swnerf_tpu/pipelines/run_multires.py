@@ -416,6 +416,20 @@ def train(argv=None):
     kind, fields, params_all, opts, opt_states, pyr_hwf, rcfg, start = create_multires(args, scene)
     L = args.layer_num
 
+    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
+    if start + 1 >= n_iters:
+        # Auto-resume landed at/past the end: the phase-2 loop below would be
+        # empty, so re-running the full phase-1 pretrain (which the resume
+        # path repeats by design, matching the reference's own restart
+        # behavior multires_dnerf.py:905-1008) would burn
+        # layer_num x global_optimization_epoch iterations for nothing.
+        print(
+            f"Checkpoint at iter {start} >= N_iter {n_iters - 1}: training "
+            "already complete, nothing to do (pass --no_reload to retrain)."
+        )
+        logger.close()
+        return {"global_step": float(start)}
+
     from math import gcd
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
@@ -511,7 +525,6 @@ def train(argv=None):
             mesh, (lap_dev, poses_dev, params_all, opt_states, images_dev)
         )
 
-    n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     print("Begin joint training")
     metrics = {}
     for i in range(start + 1, n_iters):

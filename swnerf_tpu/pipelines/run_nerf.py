@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
 from swnerf_tpu.pipelines.common import (
+    DeadInitWatchdog,
     ImageSampler,
     RayPoolSampler,
     load_scene,
@@ -274,6 +275,8 @@ def train(argv=None):
     print("TRAIN views are", scene.i_train)
     print("TEST views are", scene.i_test)
 
+    watchdog = DeadInitWatchdog(args.i_print)
+
     def flush_pending(pending):
         """Fetch + log the PREVIOUS boundary's metrics. Deferring the fetch
         one print interval keeps the device pipeline full: fetching the
@@ -292,6 +295,7 @@ def train(argv=None):
         elif "ray_samples_per_sec_per_chip_enqueue" in tp:
             rate = f" {tp['ray_samples_per_sec_per_chip_enqueue']/1e6:.2f}M samp/s/chip (enqueue)"
         print(f"[TRAIN] Iter: {j} Loss: {m['total_loss']:.6f}  PSNR: {m['psnr']:.3f}{rate}")
+        watchdog.check(j, m["psnr"])
 
     pending = None
     metrics = {}

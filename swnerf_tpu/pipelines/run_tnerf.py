@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from swnerf_tpu.models import TNeRFConfig, make_tnerf_field
-from swnerf_tpu.pipelines.common import ImageSampler, load_scene, render_path
+from swnerf_tpu.pipelines.common import (
+    DeadInitWatchdog,
+    ImageSampler,
+    load_scene,
+    render_path,
+)
 from swnerf_tpu.pipelines.run_dnerf import make_dnerf_step
 from swnerf_tpu.render.core import RenderConfig
 from swnerf_tpu.train import make_optimizer
@@ -204,6 +209,8 @@ def train(argv=None):
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     samples_per_step = args.N_rand * rcfg.n_samples
 
+    watchdog = DeadInitWatchdog(args.i_print)
+
     def flush_pending(pending):
         # One-boundary-behind metric fetch (see run_nerf.py flush_pending).
         if pending is None:
@@ -213,6 +220,7 @@ def train(argv=None):
         logger.scalars(j, m)
         logger.throughput(j, samples_per_step, jax.device_count(), synced=k_disp > 1)
         print(f"[TRAIN] Iter: {j} Loss: {m['loss']:.6f} PSNR: {m['psnr']:.3f}")
+        watchdog.check(j, m["psnr"])
 
     cadences = (args.i_weights, args.i_print, args.i_video, args.i_testset)
 

@@ -120,6 +120,14 @@ class TestMultiResPipeline:
         m = train(args8)  # resumes at 8, runs step 9
         assert np.isfinite(m["total_loss"])
 
+        # Re-invoking a finished run exits BEFORE phase 1 (no pretrain burn)
+        # and returns the resumed step instead of {}.
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "100000")  # would hang if run
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        m = train(args8)
+        assert m == {"global_step": 8.0}
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "0")
+
     def test_small_image_patch_clamp(self, tmp_path, monkeypatch):
         """Images smaller than the 32px base patch clamp it to the largest
         power of two that fits (the reference crashes there:

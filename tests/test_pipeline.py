@@ -132,3 +132,35 @@ class TestVanillaPipeline:
         recs = [json.loads(l) for l in lines]
         assert any("psnr0" in r for r in recs)
         assert all(np.isfinite(r["total_loss"]) for r in recs if "total_loss" in r)
+
+
+class TestDeadInitWatchdog:
+    """Shared across all four trainer CLIs (pipelines/common.py)."""
+
+    def test_fires_on_floor_flatline(self, capsys):
+        from swnerf_tpu.pipelines.common import DeadInitWatchdog
+
+        wd = DeadInitWatchdog(print_cadence=100)
+        for i in range(100, 1400, 100):
+            wd.check(i, 12.34)
+        assert wd.warned
+        out = capsys.readouterr().out
+        assert "dead-density init" in out and "SWNERF_SAFE_INIT" in out
+        # Warns once only.
+        wd.check(1400, 12.34)
+        assert capsys.readouterr().out == ""
+
+    def test_silent_on_converged_plateau_and_early_iters(self, capsys):
+        from swnerf_tpu.pipelines.common import DeadInitWatchdog
+
+        wd = DeadInitWatchdog(print_cadence=10)
+        # Flat but ABOVE the background floor: a converged run, no warning.
+        for i in range(100, 2000, 10):
+            wd.check(i, 31.0)
+        assert not wd.warned
+        # Flat at the floor but before min_iter: no warning yet.
+        wd2 = DeadInitWatchdog(print_cadence=10)
+        for i in range(10, 400, 10):
+            wd2.check(i, 12.0)
+        assert not wd2.warned
+        assert capsys.readouterr().out == ""
