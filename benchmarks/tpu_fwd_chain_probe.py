@@ -40,11 +40,28 @@ D, W = 8, 256
 results = {}
 
 
-def _chain_kernel(x_ref, *refs, variant: str, d: int):
+def _chain_kernel(x_ref, *refs, variant: str, d: int, interleave: int = 1):
     w_refs = refs[:d]
     b_refs = refs[d:2 * d]
     out_ref = refs[2 * d]
     h = x_ref[:]
+    if interleave > 1:
+        # ILP probe: `interleave` FULL-WIDTH independent chains in one kernel
+        # body. Chain j's layer i+1 depends only on chain j's layer i, so the
+        # scheduler may overlap chain k's matmul with chain j's drain/VPU —
+        # if the ~56% single-chain ceiling is inter-matmul pipeline latency,
+        # this lifts it; if it is issue-bandwidth, it won't. (The round-3
+        # first attempt halved the layer WIDTH per chain, which changes the
+        # MXU tile shape and confounded the answer.)
+        B = h.shape[0] // interleave
+        hs = [h[j * B:(j + 1) * B] for j in range(interleave)]
+        for i in range(d):
+            w = w_refs[i][:]
+            b = b_refs[i][:]
+            zs = [jnp.dot(hj, w, preferred_element_type=jnp.float32) for hj in hs]
+            hs = [jnp.maximum(z + b, 0.0).astype(jnp.bfloat16) for z in zs]
+        out_ref[:] = jnp.concatenate(hs, axis=0).astype(jnp.float32)
+        return
     for i in range(d):
         w = w_refs[i][:]
         b = b_refs[i][:]
@@ -65,14 +82,15 @@ def _chain_kernel(x_ref, *refs, variant: str, d: int):
     out_ref[:] = h.astype(jnp.float32)
 
 
-def make_chain(P: int, B: int, variant: str):
+def make_chain(P: int, B: int, variant: str, interleave: int = 1):
     n_tiles = P // B
     row_spec = pl.BlockSpec((B, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     def call(x, ws, bs):
         return pl.pallas_call(
-            functools.partial(_chain_kernel, variant=variant, d=D),
+            functools.partial(_chain_kernel, variant=variant, d=D,
+                              interleave=interleave),
             out_shape=jax.ShapeDtypeStruct((P, W), jnp.float32),
             grid=(n_tiles,),
             in_specs=[row_spec]
@@ -93,42 +111,59 @@ def main():
     bs = [jnp.asarray(rng.standard_normal((1, W)).astype(np.float32) * 0.01) for _ in range(D)]
     gflop = P * D * W * W * 2 / 1e9
 
-    for B in (512, 2048):
-        for v in ("A", "B", "C", "D", "E"):
-            name = f"variant {v} B={B}"
-            call = make_chain(P, B, v)
+    if "--ilp" in sys.argv:
+        # Round-3 second block: the interleaved-chain ILP question, with
+        # single-chain controls at the SAME tile row counts.
+        configs = [
+            ("variant A B=1024", 1024, "A", 1),
+            ("variant A B=4096", 4096, "A", 1),
+            ("ilp2 Beach=512", 1024, "A", 2),
+            ("ilp2 Beach=1024", 2048, "A", 2),
+            ("ilp2 Beach=2048", 4096, "A", 2),
+            ("ilp4 Beach=512", 2048, "A", 4),
+            ("ilp4 Beach=1024", 4096, "A", 4),
+        ]
+    else:
+        configs = [
+            (f"variant {v} B={B}", B, v, 1)
+            for B in (512, 2048)
+            for v in ("A", "B", "C", "D", "E")
+        ]
 
-            def run(carry):
-                def body(c, _):
-                    xc, wsc = c
-                    out = call(xc.astype(jnp.bfloat16), wsc, bs)
-                    # loop-carried dependence: fold the output back into x
-                    xc = xc + 0.0 * out.astype(xc.dtype)
-                    return (xc, wsc), 0.0
+    for name, B, v, k in configs:
+        call = make_chain(P, B, v, interleave=k)
 
-                c, _ = jax.lax.scan(body, carry, None, length=STEPS)
-                return c
+        def run(carry):
+            def body(c, _):
+                xc, wsc = c
+                out = call(xc.astype(jnp.bfloat16), wsc, bs)
+                # loop-carried dependence: fold the output back into x
+                xc = xc + 0.0 * out.astype(xc.dtype)
+                return (xc, wsc), 0.0
 
-            fn = jax.jit(run)
-            try:
-                t0 = time.time()
-                c = fn((x, ws))
-                jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
-                compile_s = time.time() - t0
-                t0 = time.time()
-                c = fn(c)
-                jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
-                wall = time.time() - t0
-            except Exception as e:
-                print(f"{name:24s}: FAILED {str(e)[:160]}", flush=True)
-                results[name] = {"error": str(e)[:200]}
-                continue
-            ms = 1000.0 * wall / STEPS
-            tflops = gflop / ms
-            print(f"{name:24s}: {ms:6.2f} ms  {tflops:6.1f} TFLOP/s "
-                  f"({100 * tflops / 197:4.1f}% of bf16 roof, compile {compile_s:.0f}s)",
-                  flush=True)
-            results[name] = {"ms": ms, "tflops": tflops}
+            c, _ = jax.lax.scan(body, carry, None, length=STEPS)
+            return c
+
+        fn = jax.jit(run)
+        try:
+            t0 = time.time()
+            c = fn((x, ws))
+            jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
+            compile_s = time.time() - t0
+            t0 = time.time()
+            c = fn(c)
+            jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
+            wall = time.time() - t0
+        except Exception as e:
+            print(f"{name:24s}: FAILED {str(e)[:160]}", flush=True)
+            results[name] = {"error": str(e)[:200]}
+            continue
+        ms = 1000.0 * wall / STEPS
+        tflops = gflop / ms
+        print(f"{name:24s}: {ms:6.2f} ms  {tflops:6.1f} TFLOP/s "
+              f"({100 * tflops / 197:4.1f}% of bf16 roof, compile {compile_s:.0f}s)",
+              flush=True)
+        results[name] = {"ms": ms, "tflops": tflops}
 
     with open("/tmp/tpu_fwd_chain_probe.json", "w") as f:
         json.dump(results, f, indent=2)
