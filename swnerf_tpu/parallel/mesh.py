@@ -8,9 +8,11 @@ inserts automatically when a jitted replicated-output function consumes
 sharded inputs — no NCCL/MPI, no hand-written collectives.
 
 The model is a ~600k-param MLP, so pure data parallelism is the right
-decomposition (no TP/PP); along-ray compositing stays chip-local (a per-ray
+DEFAULT decomposition; along-ray compositing stays chip-local (a per-ray
 associative scan), so no sequence parallelism is needed at N<=192 samples —
-deliberate, per SURVEY.md §5.
+deliberate, per SURVEY.md §5. For user-scaled ``--netwidth`` fields that
+outgrow one chip, `parallel/tensor.py` adds opt-in Megatron-style tensor
+parallelism on a 2-D (rays, model) mesh (SWNERF_TENSOR_PARALLEL=k).
 """
 
 from __future__ import annotations
@@ -89,7 +91,8 @@ def data_parallel_mesh(batch_size: int = 0, quiet: bool = False):
     return mesh
 
 
-def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnums=(0,)):
+def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnums=(0,),
+                   state_shardings=None):
     """Jit an arbitrary CLI train step for the mesh: the listed argument
     positions are sharded on their leading axis over ``rays`` (every leaf of
     a pytree argument), everything else — params, optimizer state, image
@@ -101,12 +104,22 @@ def shard_cli_step(step, mesh: Mesh, n_args: int, sharded_argnums, donate_argnum
     over the rays axis, and the weight update happens replicated on every
     chip. The reference has no distribution at all (single cuda:0,
     SURVEY.md §2.7) — this is the greenfield TPU capability.
+
+    ``state_shardings`` (a TrainState-shaped NamedSharding tree,
+    parallel/tensor.py) overrides argument 0 and the first output for
+    tensor-parallel runs: the params/optimizer leaves stay model-sharded
+    across steps instead of replicated.
     """
     rep = replicated(mesh)
     shd = rays_sharding(mesh)
-    in_sh = tuple(shd if i in set(sharded_argnums) else rep for i in range(n_args))
+    in_sh = [shd if i in set(sharded_argnums) else rep for i in range(n_args)]
+    out_sh = rep
+    if state_shardings is not None:
+        in_sh[0] = state_shardings
+        out_sh = (state_shardings, rep)
     return jax.jit(
-        step, in_shardings=in_sh, out_shardings=rep, donate_argnums=donate_argnums
+        step, in_shardings=tuple(in_sh), out_shardings=out_sh,
+        donate_argnums=donate_argnums,
     )
 
 

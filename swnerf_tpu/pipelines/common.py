@@ -250,13 +250,15 @@ class ImageSampler:
         return img_i, coords[sel]
 
 
-def make_pool_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+def make_pool_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
+                   state_shardings=None):
     """Wrap a train step to consume (pool, idx): unpack o/d/rgb, build Rays.
 
     With ``mesh``, the per-step index slice is sharded over the ``rays``
     axis (pool and params replicated): each chip gathers and renders its
     share of the batch and XLA psums the gradients (greenfield data
-    parallelism, SURVEY.md §2.7)."""
+    parallelism, SURVEY.md §2.7). ``state_shardings`` keeps the train
+    state model-sharded instead (tensor parallelism, parallel/tensor.py)."""
 
     def step(state, pool, idx, rng, times=None):
         batch = pool[idx]  # [N,3,3]
@@ -278,11 +280,13 @@ def make_pool_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
 
-        return shard_cli_step(step, mesh, n_args=4, sharded_argnums=(2,))
+        return shard_cli_step(step, mesh, n_args=4, sharded_argnums=(2,),
+                              state_shardings=state_shardings)
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
+                    state_shardings=None):
     """Wrap a train step to consume (images, poses, img_i, pixels): generate
     rays only at the chosen pixels, gather targets, build Rays.
 
@@ -315,7 +319,8 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
 
-        return shard_cli_step(step, mesh, n_args=6, sharded_argnums=(4,))
+        return shard_cli_step(step, mesh, n_args=6, sharded_argnums=(4,),
+                              state_shardings=state_shardings)
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
@@ -364,9 +369,10 @@ def steps_per_dispatch(default_tpu: int = 20) -> int:
     return default_tpu if jax.devices()[0].platform == "tpu" else 1
 
 
-def _scan_jit(step_k, mesh, sharded_argnums, n_args):
+def _scan_jit(step_k, mesh, sharded_argnums, n_args, state_shardings=None):
     """Jit a K-step scan wrapper; sharded args carry [K, N, ...] batches
-    sharded on axis 1 (the rays axis)."""
+    sharded on axis 1 (the rays axis). ``state_shardings`` keeps the train
+    state model-sharded across the scan (tensor parallelism)."""
     if mesh is None:
         return jax.jit(step_k, donate_argnums=(0,))
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -375,11 +381,17 @@ def _scan_jit(step_k, mesh, sharded_argnums, n_args):
 
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(None, RAYS_AXIS))
-    in_sh = tuple(shd if i in set(sharded_argnums) else rep for i in range(n_args))
-    return jax.jit(step_k, in_shardings=in_sh, out_shardings=rep, donate_argnums=(0,))
+    in_sh = [shd if i in set(sharded_argnums) else rep for i in range(n_args)]
+    out_sh = rep
+    if state_shardings is not None:
+        in_sh[0] = state_shardings
+        out_sh = (state_shardings, rep)
+    return jax.jit(step_k, in_shardings=tuple(in_sh), out_shardings=out_sh,
+                   donate_argnums=(0,))
 
 
-def make_pool_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+def make_pool_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
+                        state_shardings=None):
     """K pool steps per dispatch: consumes idx [K, N_rand]; returns the
     final state and the LAST step's metrics (matching what a per-step loop
     would print at the chunk boundary)."""
@@ -398,10 +410,11 @@ def make_pool_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
         state, ms = jax.lax.scan(body, state, idx_k)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
-    return _scan_jit(step_k, mesh, (2,), 4)
+    return _scan_jit(step_k, mesh, (2,), 4, state_shardings)
 
 
-def make_image_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None):
+def make_image_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
+                         state_shardings=None):
     """K per-image steps per dispatch: consumes img_i [K] and pixels
     [K, N_rand, 2] (host keeps the precrop curriculum / image choice)."""
     K = scene.K
@@ -423,7 +436,7 @@ def make_image_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None)
         state, ms = jax.lax.scan(body, state, (img_i_k, pixels_k))
         return state, jax.tree.map(lambda x: x[-1], ms)
 
-    return _scan_jit(step_k, mesh, (4,), 6)
+    return _scan_jit(step_k, mesh, (4,), 6, state_shardings)
 
 
 def chunk_until_event(i: int, n_iters: int, k_max: int, cadences) -> int:

@@ -170,14 +170,32 @@ def train(argv=None):
     # Rays-mesh data parallelism whenever >1 device is visible: training
     # shards the pixel/index batch, eval shards render tiles (SURVEY.md §2.7
     # greenfield mandate; SWNERF_DATA_PARALLEL=0 opts out).
+    # SWNERF_TENSOR_PARALLEL=k adds k-way Megatron-style weight sharding on
+    # a 2-D (rays, model) mesh for scaled-up --netwidth fields
+    # (parallel/tensor.py; the reference is single-GPU either way).
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
-    mesh = data_parallel_mesh(args.N_rand)
+    tp = int(os.environ.get("SWNERF_TENSOR_PARALLEL", "0") or 0)
+    tp_shardings = None
+    if tp > 1:
+        from swnerf_tpu.parallel import tensor_parallel_setup
+
+        mesh, tp_shardings, state = tensor_parallel_setup(state, args.N_rand, tp)
+    else:
+        mesh = data_parallel_mesh(args.N_rand)
+
+    def host_params(state):
+        """Eval/render-time params: tensor-parallel runs gather the shards
+        once per eval call (the render path manages its own placement)."""
+        if tp_shardings is None:
+            return state.params["coarse"], state.params["fine"]
+        return jax.device_get((state.params["coarse"], state.params["fine"]))
 
     if args.render_only:
         print("RENDER ONLY")
+        pc, pf = host_params(state)
         savedir = render_only(
-            field, state.params["coarse"], state.params["fine"], scene, rcfg, args, start,
+            field, pc, pf, scene, rcfg, args, start,
             fine_field=fine_field, mesh=mesh,
         )
         print("Done rendering", savedir)
@@ -202,7 +220,7 @@ def train(argv=None):
     from swnerf_tpu.train.fused_step import make_fused_train_step, supports_fused_step
 
     interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
-    use_fused_step = supports_fused_step(mcfg, fcfg, rcfg) and (
+    use_fused_step = tp_shardings is None and supports_fused_step(mcfg, fcfg, rcfg) and (
         interp
         or (
             jax.devices()[0].platform == "tpu"
@@ -248,21 +266,25 @@ def train(argv=None):
     use_batching = not args.no_batching
     if use_batching:
         sampler = RayPoolSampler(scene, args.N_rand)
-        step_fn = make_pool_step(train_step, rcfg, scene, mesh=mesh)
+        step_fn = make_pool_step(train_step, rcfg, scene, mesh=mesh,
+                                 state_shardings=tp_shardings)
         if k_disp > 1:
-            scan_fn = make_pool_scan_step(train_step, rcfg, scene, mesh=mesh)
+            scan_fn = make_pool_scan_step(train_step, rcfg, scene, mesh=mesh,
+                                          state_shardings=tp_shardings)
         if mesh is not None:
             sampler.pool = replicate(mesh, sampler.pool)
     else:
         sampler = ImageSampler(scene, args.N_rand, args.precrop_iters, args.precrop_frac)
-        step_fn = make_image_step(train_step, rcfg, scene, mesh=mesh)
+        step_fn = make_image_step(train_step, rcfg, scene, mesh=mesh,
+                                  state_shardings=tp_shardings)
         if k_disp > 1:
-            scan_fn = make_image_scan_step(train_step, rcfg, scene, mesh=mesh)
+            scan_fn = make_image_scan_step(train_step, rcfg, scene, mesh=mesh,
+                                           state_shardings=tp_shardings)
         images_dev = jnp.asarray(scene.images)
         poses_dev = jnp.asarray(scene.poses[:, :3, :4])
         if mesh is not None:
             images_dev, poses_dev = replicate(mesh, (images_dev, poses_dev))
-    if mesh is not None:
+    if mesh is not None and tp_shardings is None:
         state = replicate(mesh, state)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", N_ITERS))
@@ -332,8 +354,9 @@ def train(argv=None):
             save_vanilla_ckpt(args, state, i)
 
         if i % args.i_video == 0 and i > 0:
+            pc, pf = host_params(state)
             rgbs, disps = render_path(
-                field, state.params["coarse"], state.params["fine"],
+                field, pc, pf,
                 scene.render_poses, scene, rcfg, args.chunk, fine_field=fine_field,
                 mesh=mesh,
             )
@@ -344,8 +367,9 @@ def train(argv=None):
         if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
             testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
             os.makedirs(testsavedir, exist_ok=True)
+            pc, pf = host_params(state)
             render_path(
-                field, state.params["coarse"], state.params["fine"],
+                field, pc, pf,
                 scene.poses[scene.i_test], scene, rcfg, args.chunk, savedir=testsavedir,
                 fine_field=fine_field, mesh=mesh,
             )
