@@ -22,9 +22,16 @@ StableHLO (portable across platforms via ``platforms=[...]``); fused
 fields embed Mosaic TPU custom calls, which only run on TPU.
 
 MultiRes is served per level: each pyramid level is a DirectTemporalNeRF
-field, so export one artifact per level with its own cfg/params and
-reconstruct with ``ops.pyramid.reconstruct_from_pyramid`` host-side
-(there is no single-artifact mode — the per-level ray counts differ).
+field, so ``export_model --export_mode multires`` writes one artifact per
+level (``<out>.L<layer>``) with its own cfg/params; reconstruct with
+``ops.pyramid.reconstruct_from_pyramid`` host-side (there is no
+single-artifact mode — the per-level ray counts differ).
+
+Determinism contract: the artifact reproduces the JITTED program's pixels
+bit-for-bit on the same platform. Eager per-op execution can differ where
+XLA fuses differently-rounded paths (concretely: XLA:CPU's fused sin/cos
+range reduction at the multires level-0 embedding's 2^19-radian
+arguments) — compare served outputs against jitted renders.
 """
 
 from __future__ import annotations

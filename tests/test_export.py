@@ -234,6 +234,68 @@ class TestExportModelCLI:
         assert np.isfinite(np.asarray(rgb)).all()
 
 
+    def test_export_multires_mode(self, tmp_path, monkeypatch):
+        """--export_mode multires: one artifact per pyramid level; each
+        serves pixel-exact vs render_rays on that level's field/params."""
+        from tests.test_config_data import _write_blender_dataset
+        from swnerf_tpu.pipelines.export_model import main as export_main
+        from swnerf_tpu.pipelines.run_multires import create_multires, train
+        from swnerf_tpu.pipelines.common import load_scene
+        from swnerf_tpu.utils.config import config_parser_dnerf
+        from swnerf_tpu.utils.export import load_renderer
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=4, size=32, dynamic=True)
+        logs = tmp_path / "logs"
+        base = [
+            "--expname", "mr", "--basedir", str(logs),
+            "--datadir", str(data), "--dataset_type", "blender",
+            "--white_bkgd", "--use_viewdirs",
+            "--nerf_type", "direct_temporal",
+            "--netdepth", "2", "--netwidth", "16",
+            "--N_rand", "16", "--N_samples", "4", "--chunk", "4096",
+            "--testskip", "1", "--layer_num", "2",
+            "--global_optimization_epoch", "1",
+            "--i_weights", "4", "--i_print", "2",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--i_img", "100000", "--no_batching",
+        ]
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "1")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "5")
+        train(base)
+
+        out = tmp_path / "mr.jaxexport"
+        paths = export_main(["--export_out", str(out), "--export_rays", "8",
+                             "--export_mode", "multires"] + base)
+        assert paths == [f"{out}.L0", f"{out}.L1"]
+
+        args = config_parser_dnerf().parse_args(base)
+        scene = load_scene(args)
+        _, fields, params_all, _o, _os, _hwf, rcfg, start = create_multires(
+            args, scene
+        )
+        assert start == 4
+        rays = _rays(8, with_t=True)
+        for layer, path in enumerate(paths):
+            call = load_renderer(open(path, "rb").read())
+            rgb, disp, acc, depth = call(
+                params_all[layer], rays.origins, rays.directions,
+                rays.viewdirs, rays.near, rays.far, rays.times,
+            )
+            # Reference must be JITTED: the level-0 multires embedding uses
+            # 20 freqs (2^19-radian sin/cos args) where XLA:CPU's fused trig
+            # range reduction differs from the eager per-op path by O(0.1).
+            # The artifact contract is "same pixels as the jitted program".
+            ref = jax.jit(
+                lambda p, r: render_rays(
+                    fields[layer], p["coarse"], r, rcfg.eval_mode(), rng=None,
+                    fine_params=p["fine"],
+                )
+            )(params_all[layer], rays)
+            np.testing.assert_array_equal(np.asarray(rgb), np.asarray(ref["rgb"]))
+            assert np.isfinite(np.asarray(rgb)).all()
+
+
 class TestCrossPlatform:
     def test_multi_platform_artifact_runs_on_cpu(self):
         """platforms=["cpu","tpu"]: one artifact lowered for both; the cpu
