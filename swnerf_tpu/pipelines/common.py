@@ -325,7 +325,7 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
 
 
 def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
-                         pass_neighbor: bool = False):
+                         pass_neighbor: bool = False, state_shardings=None):
     """Wrap a ``(state, rays, target[, neighbor_time], rng)`` step with the
     dnerf-family CLI signature (images, poses, times, img_i, pixels,
     neighbor_time, rng); the per-ray frame time rides ``rays.times``.
@@ -350,7 +350,8 @@ def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
 
-        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,))
+        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,),
+                              state_shardings=state_shardings)
     return jax.jit(step, donate_argnums=(0,))
 
 

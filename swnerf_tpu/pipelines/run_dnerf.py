@@ -164,7 +164,7 @@ def save_dnerf_ckpt(args, kind: str, state: TrainState, i: int):
 
 def make_dnerf_step(
     field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float,
-    fine_field=None, mesh=None,
+    fine_field=None, mesh=None, state_shardings=None,
 ):
     """Jitted step consuming (images, poses, times, img_i, pixels,
     neighbor_time, rng). The TV branch re-renders the same rays at
@@ -209,12 +209,13 @@ def make_dnerf_step(
     # shared CLI adapter — one copy serves the fused and autodiff steps.
     from swnerf_tpu.pipelines.common import make_time_image_step
 
-    return make_time_image_step(inner, cfg, scene, mesh=mesh, pass_neighbor=True)
+    return make_time_image_step(inner, cfg, scene, mesh=mesh, pass_neighbor=True,
+                                state_shardings=state_shardings)
 
 
 def make_dnerf_scan_step(
     field, cfg: RenderConfig, optimizer, scene, add_tv_loss: bool, tv_loss_weight: float,
-    fine_field=None, mesh=None, inner_raw=None,
+    fine_field=None, mesh=None, inner_raw=None, state_shardings=None,
 ):
     """K D-NeRF steps per dispatch: consumes img_i [K], pixels [K, N, 2],
     neighbor_time [K]; returns the final state and the LAST step's metrics.
@@ -246,8 +247,13 @@ def make_dnerf_scan_step(
 
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(None, RAYS_AXIS))
-    in_sh = (rep, rep, rep, rep, rep, shd, rep, rep)
-    return jax.jit(step_k, in_shardings=in_sh, out_shardings=rep, donate_argnums=(0,))
+    in_sh = [rep, rep, rep, rep, rep, shd, rep, rep]
+    out_sh = rep
+    if state_shardings is not None:
+        in_sh[0] = state_shardings
+        out_sh = (state_shardings, rep)
+    return jax.jit(step_k, in_shardings=tuple(in_sh), out_shardings=out_sh,
+                   donate_argnums=(0,))
 
 
 def pick_neighbor_time(rng: np.random.Generator, times: np.ndarray, img_i: int) -> float:
@@ -285,7 +291,20 @@ def train(argv=None):
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
-    mesh = data_parallel_mesh(args.N_rand)
+    tp = int(os.environ.get("SWNERF_TENSOR_PARALLEL", "0") or 0)
+    tp_shardings = None
+    if tp > 1:
+        from swnerf_tpu.parallel import tensor_parallel_setup
+
+        mesh, tp_shardings, state = tensor_parallel_setup(state, args.N_rand, tp)
+    else:
+        mesh = data_parallel_mesh(args.N_rand)
+
+    def host_params(state):
+        # Eval/render-time params: TP runs gather the shards once per call.
+        if tp_shardings is None:
+            return state.params["coarse"], state.params["fine"]
+        return jax.device_get((state.params["coarse"], state.params["fine"]))
 
     if args.render_only:
         # Live path (run_dnerf.py:553-566): first render pose swept over 120
@@ -294,8 +313,9 @@ def train(argv=None):
         savedir = os.path.join(args.basedir, args.expname, "time_only")
         poses = np.broadcast_to(scene.render_poses[0], (120, 4, 4))
         times = np.linspace(0.0, 1.0, 120).astype(np.float32)
+        pc, pf = host_params(state)
         rgbs, disps = render_path(
-            field, state.params["coarse"], state.params["fine"], poses, scene, rcfg,
+            field, pc, pf, poses, scene, rcfg,
             chunk=args.chunk, savedir=savedir, render_factor=args.render_factor, times=times,
             fine_field=fine_field, mesh=mesh,
         )
@@ -330,7 +350,8 @@ def train(argv=None):
 
     interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
     use_fused_step = (
-        args.nerf_type == "direct_temporal"
+        tp_shardings is None
+        and args.nerf_type == "direct_temporal"
         and supports_fused_dnerf_step(mcfg, fcfg, rcfg)
         and (
             interp
@@ -366,21 +387,23 @@ def train(argv=None):
     else:
         step_fn = make_dnerf_step(
             field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
-            fine_field=fine_field, mesh=mesh,
+            fine_field=fine_field, mesh=mesh, state_shardings=tp_shardings,
         )
         if k_disp > 1:
             scan_fn = make_dnerf_scan_step(
                 field, rcfg, optimizer, scene, args.add_tv_loss, args.tv_loss_weight,
-                fine_field=fine_field, mesh=mesh,
+                fine_field=fine_field, mesh=mesh, state_shardings=tp_shardings,
             )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
     times_dev = jnp.asarray(scene.times)
     if mesh is not None:
-        images_dev, poses_dev, times_dev, state = replicate(
-            mesh, (images_dev, poses_dev, times_dev, state)
+        images_dev, poses_dev, times_dev = replicate(
+            mesh, (images_dev, poses_dev, times_dev)
         )
+        if tp_shardings is None:
+            state = replicate(mesh, state)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
     host_rng = np.random.default_rng(0)
 
@@ -451,8 +474,9 @@ def train(argv=None):
 
         if i % args.i_img == 0 and i > 0 and len(scene.i_val):
             img_i = int(np.random.default_rng(i).choice(scene.i_val))
+            pc, pf = host_params(state)
             rgbs, disps = render_path(
-                field, state.params["coarse"], state.params["fine"],
+                field, pc, pf,
                 scene.poses[img_i : img_i + 1], scene, rcfg, args.chunk,
                 times=scene.times[img_i : img_i + 1], fine_field=fine_field, mesh=mesh,
             )
@@ -464,8 +488,9 @@ def train(argv=None):
             savedir = os.path.join(
                 args.basedir, args.expname, f"frames_{args.expname}_spiral_{i:06d}_time"
             )
+            pc, pf = host_params(state)
             rgbs, disps = render_path(
-                field, state.params["coarse"], state.params["fine"],
+                field, pc, pf,
                 scene.render_poses, scene, rcfg, args.chunk,
                 savedir=savedir, times=scene.render_times, fine_field=fine_field, mesh=mesh,
             )
@@ -475,8 +500,9 @@ def train(argv=None):
 
         if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
             testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
+            pc, pf = host_params(state)
             render_path(
-                field, state.params["coarse"], state.params["fine"],
+                field, pc, pf,
                 scene.poses[scene.i_test], scene, rcfg, args.chunk,
                 savedir=testsavedir, times=scene.times[scene.i_test],
                 save_also_gt=scene.images[scene.i_test], fine_field=fine_field, mesh=mesh,

@@ -128,14 +128,27 @@ def train(argv=None):
 
     from swnerf_tpu.parallel import data_parallel_mesh, replicate
 
-    mesh = data_parallel_mesh(args.N_rand)
+    tp = int(os.environ.get("SWNERF_TENSOR_PARALLEL", "0") or 0)
+    tp_shardings = None
+    if tp > 1:
+        from swnerf_tpu.parallel import tensor_parallel_setup
+
+        mesh, tp_shardings, state = tensor_parallel_setup(state, args.N_rand, tp)
+    else:
+        mesh = data_parallel_mesh(args.N_rand)
+
+    def host_coarse(state):
+        # Eval/render-time params: TP runs gather the shards once per call.
+        if tp_shardings is None:
+            return state.params["coarse"]
+        return jax.device_get(state.params["coarse"])
 
     if args.render_only:
         print("RENDER ONLY")
         suffix = "test" if args.render_test else "path"
         savedir = os.path.join(args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}")
         rgbs, disps = render_path(
-            field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
+            field, host_coarse(state), None, scene.render_poses, scene, rcfg,
             chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
             times=scene.render_times, mesh=mesh,
         )
@@ -157,7 +170,7 @@ def train(argv=None):
     )
 
     interp = os.environ.get("SWNERF_FUSED_STEP") == "force-interpret"
-    use_fused_step = supports_fused_tnerf_step(mcfg, rcfg) and (
+    use_fused_step = tp_shardings is None and supports_fused_tnerf_step(mcfg, rcfg) and (
         interp
         or (
             jax.devices()[0].platform == "tpu"
@@ -181,7 +194,8 @@ def train(argv=None):
         print("Using the fused T-NeRF train step")
     else:
         step_fn = make_dnerf_step(
-            field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0, mesh=mesh
+            field, rcfg, optimizer, scene, add_tv_loss=False, tv_loss_weight=0.0,
+            mesh=mesh, state_shardings=tp_shardings,
         )
 
     # K steps per dispatch (lax.scan over the same CLI-signature step):
@@ -194,16 +208,18 @@ def train(argv=None):
     if k_disp > 1:
         scan_fn = make_dnerf_scan_step(
             field, rcfg, optimizer, scene, False, 0.0, mesh=mesh,
-            inner_raw=step_fn.__wrapped__,
+            inner_raw=step_fn.__wrapped__, state_shardings=tp_shardings,
         )
 
     images_dev = jnp.asarray(scene.images)
     poses_dev = jnp.asarray(scene.poses)
     times_dev = jnp.asarray(scene.times)
     if mesh is not None:
-        images_dev, poses_dev, times_dev, state = replicate(
-            mesh, (images_dev, poses_dev, times_dev, state)
+        images_dev, poses_dev, times_dev = replicate(
+            mesh, (images_dev, poses_dev, times_dev)
         )
+        if tp_shardings is None:
+            state = replicate(mesh, state)
     base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
@@ -259,7 +275,7 @@ def train(argv=None):
                 args.basedir, args.expname, f"frames_{args.expname}_spiral_{i:06d}_time"
             )
             rgbs, disps = render_path(
-                field, state.params["coarse"], None, scene.render_poses, scene, rcfg,
+                field, host_coarse(state), None, scene.render_poses, scene, rcfg,
                 args.chunk, savedir=savedir, times=scene.render_times, mesh=mesh,
             )
             base = os.path.join(args.basedir, args.expname, f"{args.expname}_spiral_{i:06d}_")
@@ -269,7 +285,7 @@ def train(argv=None):
         if i % args.i_testset == 0 and i > 0 and len(scene.i_test):
             testsavedir = os.path.join(args.basedir, args.expname, f"testset_{i:06d}")
             render_path(
-                field, state.params["coarse"], None, scene.poses[scene.i_test], scene,
+                field, host_coarse(state), None, scene.poses[scene.i_test], scene,
                 rcfg, args.chunk, savedir=testsavedir, times=scene.times[scene.i_test],
                 mesh=mesh,
             )

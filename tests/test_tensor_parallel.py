@@ -168,6 +168,47 @@ class TestTensorParallelCLI:
         for k in sd_tp:
             np.testing.assert_allclose(sd_tp[k], sd_single[k], atol=2e-4, err_msg=k)
 
+    def test_cli_tp2_dnerf_matches_single(self, tmp_path, monkeypatch):
+        """SWNERF_TENSOR_PARALLEL=2 on run_dnerf (deformation + canonical
+        nets BOTH model-sharded, TV loss on) == single-device."""
+        import torch
+
+        from swnerf_tpu.pipelines.run_dnerf import train
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=3, size=8, dynamic=True)
+        base = [
+            "--datadir", str(data), "--dataset_type", "blender",
+            "--nerf_type", "direct_temporal", "--white_bkgd",
+            "--use_viewdirs", "--netdepth", "8", "--netwidth", "32",
+            "--multires", "4", "--multires_views", "2",
+            "--N_rand", "16", "--N_samples", "8", "--chunk", "64",
+            "--testskip", "1", "--add_tv_loss",
+            "--i_weights", "10", "--i_print", "5",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--i_img", "100000", "--precrop_iters", "0",
+            "--precrop_iters_time", "0",
+        ]
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        sds = {}
+        for name, tp in (("tp", 2), ("single", 0)):
+            if tp:
+                monkeypatch.setenv("SWNERF_TENSOR_PARALLEL", str(tp))
+            else:
+                monkeypatch.delenv("SWNERF_TENSOR_PARALLEL", raising=False)
+                monkeypatch.setenv("SWNERF_DATA_PARALLEL", "0")
+            logs = tmp_path / name
+            train(["--expname", "d", "--basedir", str(logs)] + base)
+            ckpt = torch.load(str(logs / "d" / "000010.tar"),
+                              map_location="cpu", weights_only=False)
+            sds[name] = {k: np.asarray(v)
+                         for k, v in ckpt["network_fn_state_dict"].items()}
+        monkeypatch.delenv("SWNERF_DATA_PARALLEL", raising=False)
+        assert sds["tp"].keys() == sds["single"].keys()
+        for k in sds["tp"]:
+            np.testing.assert_allclose(sds["tp"][k], sds["single"][k],
+                                       atol=2e-4, err_msg=k)
+
     def test_cli_tp_resume_roundtrip(self, tmp_path, dataset, monkeypatch):
         """A TP run checkpoints gathered weights; resuming re-shards them."""
         from swnerf_tpu.pipelines.run_nerf import train
