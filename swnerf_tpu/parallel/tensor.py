@@ -142,11 +142,11 @@ def param_shardings(mesh: Mesh, params):
     return to_named(specs)
 
 
-def train_state_shardings(state, pshard, mesh: Mesh):
-    """A TrainState-shaped tree of NamedShardings: params by ``pshard``,
-    Adam moments (mu/nu mirror the param tree, train/loop.py) by the SAME
-    shardings — optimizer memory scales with the model axis — and every
-    other leaf (step counters, schedule state) replicated."""
+def opt_state_shardings(opt_state, pshard, mesh: Mesh):
+    """NamedSharding tree for one optax Adam chain: the moments (mu/nu
+    mirror the param tree, train/loop.py) shard by ``pshard`` — optimizer
+    memory scales with the model axis — and every other leaf (step counters,
+    schedule state) replicates."""
     rep = NamedSharding(mesh, P())
 
     def walk_opt(node):
@@ -156,10 +156,16 @@ def train_state_shardings(state, pshard, mesh: Mesh):
             return tuple(walk_opt(c) for c in node)
         return jax.tree.map(lambda _: rep, node)
 
+    return walk_opt(opt_state)
+
+
+def train_state_shardings(state, pshard, mesh: Mesh):
+    """A TrainState-shaped tree of NamedShardings: params by ``pshard``,
+    Adam moments by the same shardings, step counter replicated."""
     return type(state)(
-        step=rep,
+        step=NamedSharding(mesh, P()),
         params=pshard,
-        opt_state=walk_opt(state.opt_state),
+        opt_state=opt_state_shardings(state.opt_state, pshard, mesh),
     )
 
 
@@ -168,17 +174,10 @@ def shard_train_state(state, shardings):
     return jax.tree.map(jax.device_put, state, shardings)
 
 
-def tensor_parallel_setup(state, batch_size: int, n_model: int, quiet=False):
-    """The CLI policy for ``SWNERF_TENSOR_PARALLEL=k``: build the 2-D mesh
-    (rays axis = the largest batch divisor among the remaining devices),
-    shard the train state, and return ``(mesh, state_shardings, state)``.
-
-    Raises if fewer than ``n_model`` devices are visible. The fused Mosaic
-    kernels cannot be partitioned over ``model`` — callers must route
-    through the XLA (autodiff) step, which is the right trade in the
-    big-``netwidth`` regime this targets (the VMEM-resident fused kernel
-    stops fitting there anyway).
-    """
+def _policy_mesh(batch_size: int, n_model: int) -> Mesh:
+    """The shared ``SWNERF_TENSOR_PARALLEL=k`` mesh policy: the model axis
+    gets ``n_model`` devices, the rays axis the largest batch divisor among
+    the remainder. Raises if fewer than ``n_model`` devices are visible."""
     import os
 
     n_dev = jax.device_count()
@@ -193,13 +192,58 @@ def tensor_parallel_setup(state, batch_size: int, n_model: int, quiet=False):
     n_rays = n_dev // n_model
     while n_rays > 1 and batch_size % n_rays:
         n_rays -= 1
-    mesh = make_mesh_2d(n_rays, n_model)
+    return make_mesh_2d(n_rays, n_model)
+
+
+def tensor_parallel_setup(state, batch_size: int, n_model: int, quiet=False):
+    """The CLI policy for ``SWNERF_TENSOR_PARALLEL=k``: build the 2-D mesh
+    (rays axis = the largest batch divisor among the remaining devices),
+    shard the train state, and return ``(mesh, state_shardings, state)``.
+
+    Raises if fewer than ``n_model`` devices are visible. The fused Mosaic
+    kernels cannot be partitioned over ``model`` — callers must route
+    through the XLA (autodiff) step, which is the right trade in the
+    big-``netwidth`` regime this targets (the VMEM-resident fused kernel
+    stops fitting there anyway).
+    """
+    mesh = _policy_mesh(batch_size, n_model)
     pshard = param_shardings(mesh, state.params)
     sshard = train_state_shardings(state, pshard, mesh)
     state = shard_train_state(state, sshard)
     if not quiet:
         print(
             f"Tensor parallelism: {n_model}-way model sharding x "
-            f"{n_rays}-way ray sharding ({n_rays * n_model} devices)"
+            f"{mesh.shape[RAYS_AXIS]}-way ray sharding ({mesh.size} devices)"
         )
     return mesh, sshard, state
+
+
+def tensor_parallel_setup_multires(params_all, opt_states, batch_size: int,
+                                   n_model: int, quiet=False):
+    """``SWNERF_TENSOR_PARALLEL=k`` policy for run_multires's per-level
+    param/optimizer LISTS (one field + one Adam chain per pyramid level,
+    reference multires_dnerf.py:877-882): one shared 2-D mesh, every level's
+    params and moments sharded by its own spec tree (levels differ in
+    embedding dims but share netwidth, so the trunk shardings line up).
+    Returns ``(mesh, pshards, oshards, params_all, opt_states)`` with the
+    states device_put to their shardings. The fused phase-2 kernels cannot
+    partition over ``model`` — run_multires's mesh path already forces the
+    autodiff step, which is the right trade in the big-netwidth regime."""
+    mesh = _policy_mesh(batch_size, n_model)
+    pshards = [param_shardings(mesh, p) for p in params_all]
+    oshards = [
+        opt_state_shardings(o, s, mesh) for o, s in zip(opt_states, pshards)
+    ]
+    params_all = [
+        jax.tree.map(jax.device_put, p, s) for p, s in zip(params_all, pshards)
+    ]
+    opt_states = [
+        jax.tree.map(jax.device_put, o, s) for o, s in zip(opt_states, oshards)
+    ]
+    if not quiet:
+        print(
+            f"Tensor parallelism: {n_model}-way model sharding x "
+            f"{mesh.shape[RAYS_AXIS]}-way ray sharding ({mesh.size} devices), "
+            f"{len(params_all)} pyramid levels"
+        )
+    return mesh, pshards, oshards, params_all, opt_states

@@ -241,7 +241,7 @@ def supports_fused_phase2(field, rcfg) -> bool:
 
 
 def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
-                     mesh=None, fused=None):
+                     mesh=None, fused=None, tp_shardings=None):
     """One jitted joint step: render every level's patch, per-level MSE vs
     its Laplacian band + weighted pyramid-reconstruction MSE vs the full-res
     patch, a single grad over ALL level params, per-level Adam updates.
@@ -391,6 +391,24 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
         return new_params, new_states, metrics
 
     if mesh is not None:
+        if tp_shardings is not None:
+            # Tensor-parallel runs keep every level's params/moments
+            # model-sharded across steps (parallel/tensor.py) while the
+            # pixel patches shard over the rays axis — GSPMD inserts the
+            # model-axis all-reduces per layer and the rays psum for grads.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from swnerf_tpu.parallel.mesh import RAYS_AXIS
+
+            psh, osh = tp_shardings
+            rep = NamedSharding(mesh, P())
+            shd = NamedSharding(mesh, P(RAYS_AXIS))
+            in_sh = (list(psh), list(osh), shd, rep, rep, rep, rep, rep, rep)
+            return jax.jit(
+                step, in_shardings=in_sh,
+                out_shardings=(list(psh), list(osh), rep),
+                donate_argnums=(0, 1),
+            )
         from swnerf_tpu.parallel import shard_cli_step
 
         # Every level's pixel-coordinate patch (arg 2, a list of [ps*ps, 2]
@@ -449,8 +467,27 @@ def train(argv=None):
     # patch batch (ps^2 per level; the smallest is the binding one since
     # they are powers of four of each other).
     min_patch_sq = min(max(base_ps // (2**l), 1) ** 2 for l in range(L))
-    mesh = data_parallel_mesh(gcd(args.N_rand, min_patch_sq))
+    tp = int(os.environ.get("SWNERF_TENSOR_PARALLEL", "0") or 0)
+    tp_shardings = None
+    if tp > 1:
+        from swnerf_tpu.parallel import tensor_parallel_setup_multires
+
+        mesh, tp_pshards, tp_oshards, params_all, opt_states = (
+            tensor_parallel_setup_multires(
+                params_all, opt_states, gcd(args.N_rand, min_patch_sq), tp
+            )
+        )
+        tp_shardings = (tp_pshards, tp_oshards)
+    else:
+        mesh = data_parallel_mesh(gcd(args.N_rand, min_patch_sq))
     patch_sizes = [max(base_ps // (2**l), 1) for l in range(L)]
+
+    def host_level_params(l):
+        # Eval/render-time params: TP runs gather the shards once per call.
+        p = params_all[l]
+        if tp_shardings is not None:
+            p = jax.device_get(p)
+        return p["coarse"], p["fine"]
 
     images_dev = jnp.asarray(scene.images)
     lap_bands = [np.asarray(b) for b in generate_laplacian_pyramid(images_dev, levels=L)]
@@ -483,20 +520,27 @@ def train(argv=None):
             level_scene, args.N_rand, args.precrop_iters, args.precrop_frac,
             precrop_iters_time=args.precrop_iters_time,
         )
-        step_fn = make_dnerf_step(
-            fields[layer], rcfg, opts[layer], level_scene, args.add_tv_loss,
-            args.tv_loss_weight, mesh=mesh,
-        )
         from swnerf_tpu.train.loop import TrainState
 
         st = TrainState(jnp.zeros((), jnp.int32), params_all[layer], opt_states[layer])
+        st_shardings = None
+        if tp_shardings is not None:
+            from swnerf_tpu.parallel import train_state_shardings
+
+            st_shardings = train_state_shardings(st, tp_shardings[0][layer], mesh)
+        step_fn = make_dnerf_step(
+            fields[layer], rcfg, opts[layer], level_scene, args.add_tv_loss,
+            args.tv_loss_weight, mesh=mesh, state_shardings=st_shardings,
+        )
         imgs_l = jnp.asarray(gauss_levels[layer])
         poses_dev = jnp.asarray(scene.poses)
         times_dev = jnp.asarray(times_np)
         if mesh is not None:
-            imgs_l, poses_dev, times_dev, st = replicate(
-                mesh, (imgs_l, poses_dev, times_dev, st)
+            imgs_l, poses_dev, times_dev = replicate(
+                mesh, (imgs_l, poses_dev, times_dev)
             )
+            if tp_shardings is None:
+                st = replicate(mesh, st)
         for i in range(phase1_iters):
             img_i, pixels = sampler.next(i)
             nt = pick_neighbor_time(host_rng, times_np, img_i) if args.add_tv_loss else 0.0
@@ -516,14 +560,17 @@ def train(argv=None):
 
     # ---------------- Phase 2: joint patch optimization ----------------
     step_fn = make_phase2_step(
-        args, fields, opts, rcfg, pyr_hwf, patch_sizes, scene.near, scene.far, mesh=mesh
+        args, fields, opts, rcfg, pyr_hwf, patch_sizes, scene.near, scene.far,
+        mesh=mesh, tp_shardings=tp_shardings,
     )
     lap_dev = [jnp.asarray(b) for b in lap_bands]
     poses_dev = jnp.asarray(scene.poses[:, :3, :4])
     if mesh is not None:
-        lap_dev, poses_dev, params_all, opt_states, images_dev = replicate(
-            mesh, (lap_dev, poses_dev, params_all, opt_states, images_dev)
+        lap_dev, poses_dev, images_dev = replicate(
+            mesh, (lap_dev, poses_dev, images_dev)
         )
+        if tp_shardings is None:
+            params_all, opt_states = replicate(mesh, (params_all, opt_states))
 
     print("Begin joint training")
     metrics = {}
@@ -574,8 +621,9 @@ def train(argv=None):
                     scene, H=int(H_l), W=int(W_l), focal=float(focal_l),
                     K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
                 )
+                pc_l, pf_l = host_level_params(l)
                 rgbs, _ = render_path(
-                    fields[l], params_all[l]["coarse"], params_all[l]["fine"],
+                    fields[l], pc_l, pf_l,
                     np.broadcast_to(scene.render_poses[0], (n, 4, 4)), lscene, rcfg,
                     args.chunk,
                     savedir=os.path.join(args.basedir, args.expname, f"frames_layer_{l}_{i:06d}_time"),
@@ -595,8 +643,9 @@ def train(argv=None):
                     scene, H=int(H_l), W=int(W_l), focal=float(focal_l),
                     K=np.array([[focal_l, 0, 0.5 * W_l], [0, focal_l, 0.5 * H_l], [0, 0, 1]]),
                 )
+                pc_l, pf_l = host_level_params(l)
                 rgbs, _ = render_path(
-                    fields[l], params_all[l]["coarse"], params_all[l]["fine"],
+                    fields[l], pc_l, pf_l,
                     scene.poses[scene.i_test], lscene, rcfg, args.chunk,
                     savedir=os.path.join(testsavedir, f"layer_{l}"),
                     times=times_np[scene.i_test], mesh=mesh,

@@ -209,6 +209,84 @@ class TestTensorParallelCLI:
             np.testing.assert_allclose(sds["tp"][k], sds["single"][k],
                                        atol=2e-4, err_msg=k)
 
+    def test_cli_tp2_multires_matches_single(self, tmp_path, monkeypatch):
+        """SWNERF_TENSOR_PARALLEL=2 on run_multires: every pyramid level's
+        field + Adam moments model-shard over a shared 2-D mesh while the
+        phase-1 pixel batches / phase-2 patches shard over rays. Both
+        phases match the single-device trajectory; same Adam sign-flip
+        tolerance story as test_multires.py::test_sharded_matches_single
+        (tiny patch grads whose sign flips under reduction reassociation
+        cost a full ±lr per element). Unlike that DP test, phase-2 step 1
+        here is NOT computed from identical params: phase 1 already ran
+        2 TP Adam steps per level, whose row-sharded partial-sum rounding
+        Adam turns into O(lr) param moves — so step 1 only gets a few-1e-3
+        relative budget (the bit-level TP math is pinned by
+        test_cli_tp2_matches_single / test_hlo_partitions_the_matmuls)."""
+        import json
+
+        import torch
+
+        from swnerf_tpu.pipelines.run_multires import train
+
+        data = tmp_path / "data"
+        _write_blender_dataset(str(data), n=4, size=64, dynamic=True)
+        monkeypatch.setenv("SWNERF_PHASE1_ITERS", "2")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "5")
+        base = [
+            "--datadir", str(data), "--dataset_type", "blender",
+            "--white_bkgd", "--use_viewdirs",
+            "--nerf_type", "direct_temporal",
+            "--netdepth", "2", "--netwidth", "16",
+            "--N_rand", "16", "--N_samples", "4",
+            "--chunk", "4096", "--testskip", "1",
+            "--layer_num", "3", "--global_optimization_epoch", "2",
+            "--i_weights", "4", "--i_print", "1",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--i_img", "100000", "--no_batching",
+        ]
+        sds = {}
+        for tag, tp in (("tp", 2), ("single", 0)):
+            if tp:
+                monkeypatch.setenv("SWNERF_TENSOR_PARALLEL", str(tp))
+            else:
+                monkeypatch.delenv("SWNERF_TENSOR_PARALLEL", raising=False)
+                monkeypatch.setenv("SWNERF_DATA_PARALLEL", "0")
+            logs = tmp_path / tag
+            train(["--expname", "mr", "--basedir", str(logs)] + base)
+            ckpt = torch.load(
+                str(logs / "mr" / "000004.tar"), map_location="cpu", weights_only=False
+            )
+            sds[tag] = {
+                f"{l}/{k}": np.asarray(v)
+                for l in range(3)
+                for k, v in ckpt[f"network_fn_{l}"].items()
+            }
+            sds[tag + "_metrics"] = [
+                json.loads(line)
+                for line in (logs / "mr" / "metrics.jsonl").read_text().strip().splitlines()
+                if "global_loss" in line
+            ]
+        monkeypatch.delenv("SWNERF_DATA_PARALLEL", raising=False)
+        assert sds["tp"].keys() == sds["single"].keys()
+        assert len(sds["tp_metrics"]) == len(sds["single_metrics"]) > 0
+        first_p, first_s = sds["tp_metrics"][0], sds["single_metrics"][0]
+        assert first_p["step"] == 1
+        for key in ("global_loss", "total_loss", "loss_layer_0"):
+            np.testing.assert_allclose(
+                first_p[key], first_s[key], rtol=2e-2, err_msg=f"step 1 {key}"
+            )
+        for mp, ms in zip(sds["tp_metrics"], sds["single_metrics"]):
+            np.testing.assert_allclose(
+                mp["total_loss"], ms["total_loss"], rtol=0.2,
+                err_msg=f"step {mp['step']} total_loss",
+            )
+        # 2 phase-1 + 4 joint Adam steps x lr 5e-4, two-sided (a sign-flipped
+        # near-zero grad moves the two runs in OPPOSITE lr-sized directions).
+        for k in sds["tp"]:
+            np.testing.assert_allclose(
+                sds["tp"][k], sds["single"][k], atol=2 * 6 * 5e-4, err_msg=k
+            )
+
     def test_cli_tp_resume_roundtrip(self, tmp_path, dataset, monkeypatch):
         """A TP run checkpoints gathered weights; resuming re-shards them."""
         from swnerf_tpu.pipelines.run_nerf import train
