@@ -279,9 +279,12 @@ def make_pool_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
 
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
+        from swnerf_tpu.parallel.multihost import wrap_feeder
 
-        return shard_cli_step(step, mesh, n_args=4, sharded_argnums=(2,),
-                              state_shardings=state_shardings)
+        return wrap_feeder(
+            shard_cli_step(step, mesh, n_args=4, sharded_argnums=(2,),
+                           state_shardings=state_shardings),
+            mesh, sharded_argnums=(2,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -318,9 +321,12 @@ def make_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
 
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
+        from swnerf_tpu.parallel.multihost import wrap_feeder
 
-        return shard_cli_step(step, mesh, n_args=6, sharded_argnums=(4,),
-                              state_shardings=state_shardings)
+        return wrap_feeder(
+            shard_cli_step(step, mesh, n_args=6, sharded_argnums=(4,),
+                           state_shardings=state_shardings),
+            mesh, sharded_argnums=(4,))
     return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
 
@@ -349,9 +355,12 @@ def make_time_image_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,
 
     if mesh is not None:
         from swnerf_tpu.parallel import shard_cli_step
+        from swnerf_tpu.parallel.multihost import wrap_feeder
 
-        return shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,),
-                              state_shardings=state_shardings)
+        return wrap_feeder(
+            shard_cli_step(step, mesh, n_args=8, sharded_argnums=(5,),
+                           state_shardings=state_shardings),
+            mesh, sharded_argnums=(5,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -387,8 +396,12 @@ def _scan_jit(step_k, mesh, sharded_argnums, n_args, state_shardings=None):
     if state_shardings is not None:
         in_sh[0] = state_shardings
         out_sh = (state_shardings, rep)
-    return jax.jit(step_k, in_shardings=tuple(in_sh), out_shardings=out_sh,
-                   donate_argnums=(0,))
+    from swnerf_tpu.parallel.multihost import wrap_feeder
+
+    return wrap_feeder(
+        jax.jit(step_k, in_shardings=tuple(in_sh), out_shardings=out_sh,
+                donate_argnums=(0,)),
+        mesh, sharded_argnums=sharded_argnums, axis=1)
 
 
 def make_pool_scan_step(train_step, cfg: RenderConfig, scene: Scene, mesh=None,

@@ -273,6 +273,9 @@ def pick_neighbor_time(rng: np.random.Generator, times: np.ndarray, img_i: int) 
 
 
 def train(argv=None):
+    from swnerf_tpu.parallel.multihost import initialize_from_env
+
+    initialize_from_env()  # multi-process opt-in; no-op single-host
     args = config_parser_dnerf().parse_args(argv)
     if args.dataset_type != "blender":
         raise ValueError(f"Unknown dataset type {args.dataset_type!r} (dnerf supports blender)")

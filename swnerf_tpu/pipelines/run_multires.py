@@ -404,20 +404,30 @@ def make_phase2_step(args, fields, opts, rcfg, pyr_hwf, patch_sizes, near, far,
             rep = NamedSharding(mesh, P())
             shd = NamedSharding(mesh, P(RAYS_AXIS))
             in_sh = (list(psh), list(osh), shd, rep, rep, rep, rep, rep, rep)
-            return jax.jit(
-                step, in_shardings=in_sh,
-                out_shardings=(list(psh), list(osh), rep),
-                donate_argnums=(0, 1),
-            )
+            from swnerf_tpu.parallel.multihost import wrap_feeder
+
+            return wrap_feeder(
+                jax.jit(
+                    step, in_shardings=in_sh,
+                    out_shardings=(list(psh), list(osh), rep),
+                    donate_argnums=(0, 1),
+                ),
+                mesh, sharded_argnums=(2,))
         from swnerf_tpu.parallel import shard_cli_step
+        from swnerf_tpu.parallel.multihost import wrap_feeder
 
         # Every level's pixel-coordinate patch (arg 2, a list of [ps*ps, 2]
         # leaves) shards over the rays axis; params/targets/scalars replicate.
-        return shard_cli_step(step, mesh, n_args=9, sharded_argnums=(2,), donate_argnums=(0, 1))
+        return wrap_feeder(
+            shard_cli_step(step, mesh, n_args=9, sharded_argnums=(2,), donate_argnums=(0, 1)),
+            mesh, sharded_argnums=(2,))
     return jax.jit(step, donate_argnums=(0, 1))
 
 
 def train(argv=None):
+    from swnerf_tpu.parallel.multihost import initialize_from_env
+
+    initialize_from_env()  # multi-process opt-in; no-op single-host
     args = config_parser_dnerf().parse_args(argv)
     if args.dataset_type != "blender":
         raise ValueError(f"Unknown dataset type {args.dataset_type!r} (multires supports blender)")

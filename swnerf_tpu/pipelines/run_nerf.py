@@ -159,6 +159,11 @@ def save_vanilla_ckpt(args, state: TrainState, i: int):
 
 
 def train(argv=None):
+    # Opt-in multi-process init (SWNERF_COORDINATOR et al.) before the first
+    # device query; a no-op on every single-host run (parallel/multihost.py).
+    from swnerf_tpu.parallel.multihost import initialize_from_env
+
+    initialize_from_env()
     args = config_parser().parse_args(argv)
     scene = load_scene(args)
 

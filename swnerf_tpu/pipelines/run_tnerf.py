@@ -113,6 +113,9 @@ def save_tnerf_ckpt(args, state: TrainState, i: int):
 
 
 def train(argv=None):
+    from swnerf_tpu.parallel.multihost import initialize_from_env
+
+    initialize_from_env()  # multi-process opt-in; no-op single-host
     args = config_parser_dnerf().parse_args(argv)
     if args.dataset_type != "blender":
         raise ValueError(f"Unknown dataset type {args.dataset_type!r} (tnerf supports blender)")

@@ -273,7 +273,14 @@ def torch_dict_to_adam(torch_opt: Dict[str, Any], params, groups, opt_state_temp
 
 
 def save_tar(path: str, payload: Dict[str, Any]) -> None:
-    """torch.save the payload (numpy arrays converted to torch tensors)."""
+    """torch.save the payload (numpy arrays converted to torch tensors).
+
+    Multi-process runs write from process 0 only (parallel/multihost.py
+    host-role rule; every process computes, the primary owns the files)."""
+    from swnerf_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     import torch
 
     def conv(x):
@@ -315,7 +322,11 @@ def load_tar(path: str) -> Dict[str, Any]:
 def save_native(path: str, state, extra: Optional[Dict[str, Any]] = None) -> None:
     """Native checkpoint: the full TrainState pytree serialized with flax
     msgpack (SURVEY.md §5 asks for a native format alongside the torch-.tar
-    compatibility path). Atomic write."""
+    compatibility path). Atomic write; process 0 only (see save_tar)."""
+    from swnerf_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     from flax import serialization
 
     payload = {"state": state, "extra": extra or {}}

@@ -27,7 +27,12 @@ def enable_debug_nans(on: bool = True) -> None:
 
 
 def snapshot_args(basedir: str, expname: str, args, config_path: Optional[str]) -> None:
-    """Write args.txt (+ config.txt copy) like run.py:531-540."""
+    """Write args.txt (+ config.txt copy) like run.py:531-540. Process 0
+    only in multi-process runs (parallel/multihost.py host-role rule)."""
+    from swnerf_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     d = os.path.join(basedir, expname)
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "args.txt"), "w") as f:
@@ -40,10 +45,17 @@ def snapshot_args(basedir: str, expname: str, args, config_path: Optional[str]) 
 
 class ExperimentLogger:
     def __init__(self, basedir: str, expname: str, use_tensorboard: bool = True):
+        from swnerf_tpu.parallel.multihost import is_primary
+
         self.dir = os.path.join(basedir, expname)
+        self._jsonl = None
+        self._tb = None
+        if not is_primary():  # multi-process: p0 owns metrics.jsonl + TB
+            self._t_last = time.perf_counter()
+            self._step_last: Optional[int] = None
+            return
         os.makedirs(self.dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -55,6 +67,8 @@ class ExperimentLogger:
         self._step_last: Optional[int] = None
 
     def scalars(self, step: int, values: Dict[str, Any]) -> None:
+        if self._jsonl is None:
+            return
         rec = {"step": int(step), "t": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -103,6 +117,7 @@ class ExperimentLogger:
         return out
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

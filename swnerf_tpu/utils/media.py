@@ -15,6 +15,10 @@ from swnerf_tpu.utils.metrics import to8b
 
 
 def write_png(path: str, img01: np.ndarray) -> None:
+    from swnerf_tpu.parallel.multihost import is_primary
+
+    if not is_primary():  # multi-process: renders run everywhere, files on p0
+        return
     import imageio.v2 as imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -23,7 +27,11 @@ def write_png(path: str, img01: np.ndarray) -> None:
 
 def write_video(path: str, frames01: np.ndarray, fps: int = 30) -> str:
     """Write [T,H,W,3] (or [T,H,W]) floats in [0,1] to mp4 (or gif fallback).
-    Returns the path actually written."""
+    Returns the path actually written (process 0 only, see write_png)."""
+    from swnerf_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return path
     frames = to8b(np.asarray(frames01))
     if frames.ndim == 3:
         frames = np.repeat(frames[..., None], 3, axis=-1)

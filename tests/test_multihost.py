@@ -1,0 +1,162 @@
+"""Multi-host support tests (parallel/multihost.py), single-process.
+
+Real multi-host hardware is unavailable in this sandbox, so these pin the
+pieces that can be validated here: the host-shard math, the per-host RNG
+stream, the host-role IO gating, and — most importantly — the global-batch
+assembly path (``jax.make_array_from_callback``) forced ON and shown to
+reproduce the plain device-put trajectory bit-for-bit through the real CLI
+trainer. The reference has no multi-process anything (SURVEY.md §2.7); the
+multi-host design is the greenfield DCN story (module docstring).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import swnerf_tpu.parallel.multihost as mh
+from swnerf_tpu.parallel.mesh import make_mesh, rays_sharding
+from tests.test_config_data import _write_blender_dataset
+from tests.test_pipeline import _base_args
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    data = tmp_path / "data"
+    _write_blender_dataset(str(data), n=3, size=8)
+    return data
+
+
+class TestHostMath:
+    def test_shard_bounds_cover_disjointly(self):
+        for n in (1, 7, 8, 100, 1003):
+            for count in (1, 2, 3, 8):
+                spans = [mh.host_shard_bounds(n, i, count) for i in range(count)]
+                assert spans[0][0] == 0 and spans[-1][1] == n
+                for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+                    assert ahi == blo  # contiguous, disjoint
+                sizes = [hi - lo for lo, hi in spans]
+                assert max(sizes) - min(sizes) <= 1  # balanced
+
+    def test_shard_bounds_default_this_process(self):
+        # Single-process: the whole range.
+        assert mh.host_shard_bounds(10) == (0, 10)
+
+    def test_host_fold_streams(self):
+        rng = jax.random.PRNGKey(0)
+        k0 = mh.host_fold(rng, 0)
+        k1 = mh.host_fold(rng, 1)
+        assert not np.array_equal(np.asarray(k0), np.asarray(k1))
+        # Default index is this process (0 here).
+        assert np.array_equal(np.asarray(mh.host_fold(rng)), np.asarray(k0))
+
+    def test_initialize_from_env_noop(self, monkeypatch):
+        monkeypatch.delenv("SWNERF_COORDINATOR", raising=False)
+        assert mh.initialize_from_env() is False
+
+    def test_is_primary_single_process(self):
+        assert mh.is_primary() is True
+
+
+class TestFeeder:
+    def test_single_process_returns_jitted_unchanged(self):
+        mesh = make_mesh()
+        f = jax.jit(lambda x: x + 1)
+        assert mh.wrap_feeder(f, mesh, (0,)) is f
+
+    def test_forced_assembly_matches_device_put(self):
+        """The make_array_from_callback path produces the same sharded array
+        (values AND sharding) a plain device_put commit would."""
+        mesh = make_mesh()
+        sh = rays_sharding(mesh)
+        x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+
+        f = jax.jit(lambda a, b: (a * b).sum(axis=1),
+                    in_shardings=(sh, None), out_shardings=sh)
+        fed = mh.wrap_feeder(f, mesh, (0,), force=True)
+        got = fed(x, jnp.float32(2.0))
+        want = f(jax.device_put(x, sh), jnp.float32(2.0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert mh._assemble(x, sh).sharding.is_equivalent_to(sh, x.ndim)
+
+    def test_forced_assembly_axis1(self):
+        """Scan-shaped [K, N, ...] batches shard on axis 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        sh = NamedSharding(mesh, P(None, "rays"))
+        x = np.arange(2 * 16, dtype=np.float32).reshape(2, 16)
+        f = jax.jit(lambda a: a.sum(), in_shardings=(sh,), out_shardings=None)
+        fed = mh.wrap_feeder(f, mesh, (0,), axis=1, force=True)
+        assert float(fed(x)) == float(x.sum())
+
+
+def _load_sd(path):
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    return {k: np.asarray(v) for k, v in ckpt["network_fn_state_dict"].items()}
+
+
+class TestCLIForcedFeeder:
+    def test_vanilla_trainer_identical_through_assembly(
+        self, tmp_path, dataset, monkeypatch
+    ):
+        """10 sharded CLI steps with the multihost assembly path forced ON
+        reproduce the plain sharded run's weights bit-for-bit — the feeder
+        changes HOW the batch reaches the devices, never what it contains."""
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+
+        train(_base_args(dataset, tmp_path / "plain", []))
+        sd_plain = _load_sd(tmp_path / "plain" / "tiny" / "000010.tar")
+
+        orig = mh.wrap_feeder
+        monkeypatch.setattr(
+            mh, "wrap_feeder",
+            lambda jitted, mesh, sharded_argnums, axis=0, force=False: orig(
+                jitted, mesh, sharded_argnums, axis=axis, force=True
+            ),
+        )
+        train(_base_args(dataset, tmp_path / "fed", []))
+        sd_fed = _load_sd(tmp_path / "fed" / "tiny" / "000010.tar")
+
+        assert sd_plain.keys() == sd_fed.keys()
+        for k in sd_plain:
+            np.testing.assert_array_equal(sd_plain[k], sd_fed[k], err_msg=k)
+
+
+class TestHostRoleGating:
+    def test_non_primary_writes_nothing(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(mh, "is_primary", lambda: False)
+
+        from swnerf_tpu.train.checkpoint import save_tar
+        from swnerf_tpu.utils.logging import ExperimentLogger, snapshot_args
+        from swnerf_tpu.utils.media import write_png, write_video
+
+        save_tar(str(tmp_path / "c.tar"), {"global_step": 1})
+        write_png(str(tmp_path / "i.png"), np.zeros((4, 4, 3)))
+        write_video(str(tmp_path / "v.mp4"), np.zeros((2, 4, 4, 3)))
+
+        class A:
+            pass
+
+        a = A()
+        a.x = 1
+        snapshot_args(str(tmp_path), "exp", a, None)
+
+        logger = ExperimentLogger(str(tmp_path), "exp")
+        logger.scalars(1, {"loss": 0.5})
+        logger.throughput(2, 10, 1)
+        logger.close()
+
+        assert sorted(os.listdir(tmp_path)) == []  # no file, no dir
+
+    def test_primary_writes(self, tmp_path):
+        from swnerf_tpu.utils.media import write_png
+
+        write_png(str(tmp_path / "i.png"), np.zeros((4, 4, 3)))
+        assert (tmp_path / "i.png").exists()
