@@ -26,10 +26,17 @@ time (no reference code is modified):
   * lpips -> a zero-valued stand-in (pretrained weights need egress).
 
 Env knobs: PARITY_ITERS (default 2000), PARITY_SIZE (64), PARITY_N_RAND
-(128), PARITY_SAMPLES (32), PARITY_MODE (nerf|dnerf|tnerf|multires),
+(128), PARITY_SAMPLES (32), PARITY_MODE (nerf|llff|dnerf|tnerf|multires),
 PARITY_OUT dir, PARITY_GOE (multires global_optimization_epoch, 500).
 
 Mode notes:
+  * llff runs the SAME reference vanilla trainer (nerf/run.py) but on a
+    synthetic forward-facing LLFF capture (write_llff_scene) with the fern
+    config shape: dataset_type=llff, NDC projection ON, POOLED ray
+    batching ON (no_batching absent), llffhold test split, factor 1, black
+    background. This gates the three training-path surfaces the blender
+    modes never touch: the LLFF loader chain (poses_bounds -> bd rescale ->
+    recenter), ndc_rays, and the epoch-shuffled ray pool (run.py:600-653).
   * tnerf runs /root/reference/t_nerf/run_tnerf.py train() (its N_iter flag
     bounds the loop; add_tv_loss must stay off — the reference's i_print
     block references an undefined tv_loss otherwise, run_tnerf.py:733-735).
@@ -168,7 +175,21 @@ def build_config(mode, out, data, iters):
         "netchunk": "16384",
         "half_res": "False",
     }
-    if mode == "dnerf":
+    if mode == "llff":
+        # Fern-shaped run (nerf/configs/fern.txt): NDC + pooled batching.
+        # no_batching is REMOVED (batching on); spherify/no_ndc/lindisp stay
+        # at their False defaults; precrop only applies to the no-batching
+        # branch (run.py:655-663) so it is zeroed for clarity; white_bkgd
+        # off (LLFF images have no alpha; the scene is written black-bkgd).
+        del cfg["no_batching"]
+        cfg.update(
+            dataset_type="llff",
+            white_bkgd="False",
+            factor="1",
+            llffhold="8",
+            precrop_iters="0",
+        )
+    elif mode == "dnerf":
         cfg.update(
             nerf_type="direct_temporal",
             N_iter=str(iters),
@@ -222,6 +243,7 @@ def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     torch.manual_seed(int(os.environ.get("PARITY_REF_SEED", "0")))
     runner = {
         "nerf": "nerf/run.py",
+        "llff": "nerf/run.py",
         "dnerf": "d_nerf/run_dnerf.py",
         "tnerf": "t_nerf/run_tnerf.py",
         "multires": "multires_dnerf/multires_dnerf.py",
@@ -246,7 +268,7 @@ def run_reference(mode, cfgpath, iters):  # PARITY_REF_SEED seeds torch
     if npseed is not None:
         np.random.seed(int(npseed))
 
-    if mode == "nerf":
+    if mode in ("nerf", "llff"):
         # The vanilla runner hardcodes N_iters=200 001 (run.py:625); cap the
         # loop by bounding its trange. The train() body runs unmodified.
         mod.trange = lambda a, b: range(a, min(b, iters + 1))
@@ -268,7 +290,7 @@ def run_ours(mode, cfgpath, iters, seed=0):
     os.environ["SWNERF_MAX_ITERS"] = str(iters + 1)
     os.environ["SWNERF_SEED"] = str(seed)
     t0 = time.time()
-    if mode == "nerf":
+    if mode in ("nerf", "llff"):
         from swnerf_tpu.pipelines.run_nerf import train
     elif mode == "tnerf":
         from swnerf_tpu.pipelines.run_tnerf import train
@@ -376,7 +398,7 @@ def eval_ckpt(mode, tarpath, scene_args, label):
     if mode == "multires":
         return _eval_multires_ckpt(ckpt, scene, n_samp, label)
 
-    if mode == "nerf":
+    if mode in ("nerf", "llff"):
         from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
 
         mcfg = VanillaNeRFConfig(output_ch=5)
@@ -409,7 +431,8 @@ def eval_ckpt(mode, tarpath, scene_args, label):
         n_samples=n_samp,
         n_importance=0 if mode == "tnerf" else n_samp,
         perturb=0.0, raw_noise_std=0.0,
-        white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
+        white_bkgd=(mode != "llff"
+                    and os.environ.get("PARITY_BKGD", "white") != "black"),
         use_viewdirs=True,
     )
     times = scene.times[scene.i_test] if scene.times is not None else None
@@ -435,21 +458,30 @@ def main():
     # PARITY_SCENE=textured selects the multi-object high-frequency scene
     # (checker sphere + striped box + occluder) — the soft sphere saturates
     # at ~36 dB and stops discriminating (VERDICT round-2 missing #2).
-    gt_scene = os.environ.get("PARITY_SCENE", "sphere")
+    # llff defaults to the high-frequency textured scene (the soft sphere
+    # saturates); always written black-background (no alpha channel).
+    gt_scene = os.environ.get(
+        "PARITY_SCENE", "textured" if mode == "llff" else "sphere"
+    )
     bkgd = os.environ.get("PARITY_BKGD", "white")
     tag = ("" if gt_scene == "sphere" else f"_{gt_scene}") + (
         "" if bkgd == "white" else f"_{bkgd}"
     )
     data = os.path.join(out, f"data_{mode}{tag}")
     if not os.path.isdir(data):
-        from swnerf_tpu.data.synthetic import write_blender_scene
-
         size = int(os.environ.get("PARITY_SIZE", "64"))
-        write_blender_scene(
-            data, n_train=20, n_val=2, n_test=3, size=size,
-            dynamic=mode in ("dnerf", "tnerf", "multires"),
-            scene=gt_scene, white_bkgd=(bkgd != "black"),
-        )
+        if mode == "llff":
+            from swnerf_tpu.data.synthetic import write_llff_scene
+
+            write_llff_scene(data, n_images=24, size=size, scene=gt_scene)
+        else:
+            from swnerf_tpu.data.synthetic import write_blender_scene
+
+            write_blender_scene(
+                data, n_train=20, n_val=2, n_test=3, size=size,
+                dynamic=mode in ("dnerf", "tnerf", "multires"),
+                scene=gt_scene, white_bkgd=(bkgd != "black"),
+            )
         print("scene written:", data)
 
     cfg, _ = build_config(mode, out, data, iters)
@@ -475,12 +507,18 @@ def main():
         print(f"swnerf_tpu trained in {t_our:.0f}s")
 
     # Identical eval of both final checkpoints.
-    scene_args = ap.Namespace(
-        dataset_type="blender" if mode == "nerf" else "blender_dnerf",
-        datadir=data, half_res=False, testskip=1,
-        white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
-        render_test=False,
-    )
+    if mode == "llff":
+        scene_args = ap.Namespace(
+            dataset_type="llff", datadir=data, factor=1, llffhold=8,
+            spherify=False, no_ndc=False, render_test=False,
+        )
+    else:
+        scene_args = ap.Namespace(
+            dataset_type="blender" if mode == "nerf" else "blender_dnerf",
+            datadir=data, half_res=False, testskip=1,
+            white_bkgd=os.environ.get("PARITY_BKGD", "white") != "black",
+            render_test=False,
+        )
     suffix = f"_s{seed}" if seed else ""
     ref_tar = os.path.join(out, "logs_ref", f"ref_{mode}{suffix}", f"{iters:06d}.tar")
     our_tar = os.path.join(out, "logs_our", f"our_{mode}{suffix}", f"{iters:06d}.tar")

@@ -179,6 +179,77 @@ def write_blender_scene(
             json.dump(meta, f)
 
 
+def write_llff_scene(
+    root: str,
+    n_images: int = 24,
+    size: int = 64,
+    n_samples: int = 192,
+    seed: int = 0,
+    scene: str = "textured",
+    z_dist: float = 4.0,
+) -> None:
+    """Write a RENDERABLE LLFF-format forward-facing capture: ``images/``
+    (plus a pre-populated ``images_1/`` factor-1 cache) and
+    ``poses_bounds.npy`` in the exact on-disk schema of
+    dataloader/load_llff.py:63-118 — per image a flattened 3x5
+    [down, right, back | t | hwf] matrix plus [near, far] depth bounds.
+
+    Cameras sit on a jittered grid in a plane at distance ``z_dist``,
+    looking at the scene center — a handheld forward-facing capture like
+    fern, the reference's NDC + pooled-ray-batching workload
+    (nerf/configs/fern.txt). Pre-populating ``images_1/`` lets the
+    reference loader's factor-1 path skip its ImageMagick ``mogrify``
+    shell-out (load_llff.py:8-57), which this environment lacks; our
+    loader reads ``images/`` directly at factor 1 — identical files.
+    """
+    import os
+
+    import imageio.v2 as imageio
+
+    H = W = size
+    focal = 0.9 * W
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images_1"), exist_ok=True)
+
+    side = int(np.ceil(np.sqrt(n_images)))
+    rows = []
+    for i in range(n_images):
+        gx, gy = i % side, i // side
+        x = (gx / max(side - 1, 1) - 0.5) * 1.4 + float(rng.uniform(-0.08, 0.08))
+        y = (gy / max(side - 1, 1) - 0.5) * 1.4 + float(rng.uniform(-0.08, 0.08))
+        z = z_dist + float(rng.uniform(-0.25, 0.25))
+        eye = np.array([x, y, z], np.float32)
+        back = eye / np.linalg.norm(eye)  # camera looks at the origin
+        right = np.cross([0.0, 1.0, 0.0], back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, back, eye
+
+        # The analytic scenes live within ~1.5 units of the origin.
+        dist = float(np.linalg.norm(eye))
+        near_b, far_b = dist - 1.7, dist + 1.7
+        rays = make_rays_from_camera(H, W, float(focal), c2w, near=near_b, far=far_b)
+        rgb = np.asarray(
+            render_gt(rays, n_samples, white_bkgd=False, scene=scene)
+        ).reshape(H, W, 3)
+        png = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        name = f"image{i:03d}.png"
+        imageio.imwrite(os.path.join(root, "images", name), png)
+        imageio.imwrite(os.path.join(root, "images_1", name), png)
+
+        # Stored convention: columns [down(-up), right, back, t, hwf] — the
+        # loaders' column reorder inverts this (load_llff.py:244-246).
+        m = np.stack(
+            [-c2w[:3, 1], c2w[:3, 0], c2w[:3, 2], c2w[:3, 3],
+             np.array([H, W, focal], np.float32)],
+            axis=1,
+        )
+        rows.append(np.concatenate([m.reshape(-1), [near_b, far_b]]))
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(rows).astype(np.float64))
+
+
 def make_scene(
     n_views: int = 4, H: int = 16, W: int = 16, n_samples: int = 64
 ) -> Tuple[np.ndarray, np.ndarray, float]:

@@ -153,3 +153,72 @@ class TestDeepVoxelsLoader:
         assert scene.near == pytest.approx(hemi_r - 1.0)
         assert scene.far == pytest.approx(hemi_r + 1.0)
         assert scene.H == scene.W == 512
+
+
+class TestSyntheticLLFFScene:
+    """The forward-facing LLFF fixture writer (data/synthetic.py
+    write_llff_scene) feeds the llff parity mode; pin its on-disk schema by
+    loading it through OUR loader and — when the reference tree is present —
+    through the reference's load_llff.py, asserting identical outputs."""
+
+    def _write(self, root, n=6, size=8):
+        from swnerf_tpu.data.synthetic import write_llff_scene
+
+        write_llff_scene(str(root), n_images=n, size=size, n_samples=16)
+
+    def test_loads_through_our_loader(self, tmp_path):
+        from swnerf_tpu.data.llff import load_llff_data
+
+        self._write(tmp_path)
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            str(tmp_path), factor=1, recenter=True, bd_factor=0.75,
+        )
+        assert images.shape == (6, 8, 8, 3) and images.max() <= 1.0
+        assert poses.shape == (6, 3, 5)
+        # hwf column carries the written intrinsics.
+        np.testing.assert_allclose(poses[0, :, 4], [8, 8, 0.9 * 8], rtol=1e-6)
+        # bd_factor rescale normalizes the nearest bound to 1/0.75.
+        assert bds.min() == pytest.approx(1.0 / 0.75, rel=1e-5)
+        assert 0 <= i_test < 6
+
+    def test_matches_reference_loader(self, tmp_path):
+        """Byte-identical pixels and bit-close poses through BOTH loader
+        implementations (ours vs dataloader/load_llff.py) — the images_1/
+        pre-population must short-circuit the reference's mogrify shell-out."""
+        import importlib.util
+
+        ref_path = "/root/reference/dataloader/load_llff.py"
+        if not os.path.exists(ref_path):
+            pytest.skip("reference tree not present")
+        spec = importlib.util.spec_from_file_location("ref_load_llff", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from swnerf_tpu.data.llff import load_llff_data
+
+        self._write(tmp_path)
+        ours = load_llff_data(str(tmp_path), factor=1, recenter=True, bd_factor=0.75)
+        theirs = ref.load_llff_data(
+            str(tmp_path), factor=1, recenter=True, bd_factor=0.75, spherify=False
+        )
+        np.testing.assert_array_equal(ours[0], np.asarray(theirs[0], np.float32))
+        np.testing.assert_allclose(ours[1], theirs[1], atol=1e-5)  # poses
+        np.testing.assert_allclose(ours[2], theirs[2], atol=1e-5)  # bds
+        assert int(ours[4]) == int(theirs[4])  # holdout view
+
+    def test_cli_scene_ndc_batching(self, tmp_path):
+        """load_scene wires the llff fixture into the NDC + pooled path:
+        near/far become the 0/1 NDC planes and llffhold strides the split."""
+        import argparse
+
+        from swnerf_tpu.pipelines.common import load_scene
+
+        self._write(tmp_path)
+        args = argparse.Namespace(
+            dataset_type="llff", datadir=str(tmp_path), factor=1, llffhold=4,
+            spherify=False, no_ndc=False, render_test=False,
+        )
+        scene = load_scene(args)
+        assert scene.ndc and scene.near == 0.0 and scene.far == 1.0
+        np.testing.assert_array_equal(scene.i_test, [0, 4])
+        assert len(scene.i_train) == 4
