@@ -390,42 +390,102 @@ def load_native(path: str, state_template, extra_template: Optional[Dict[str, An
     return payload["state"], payload["extra"]
 
 
+def save_orbax(path: str, state, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Orbax checkpoint: the full TrainState pytree written as an Orbax
+    directory (SURVEY.md §5's "native orbax checkpoints" alongside the
+    torch-.tar compatibility path). Unlike the msgpack snapshot this format
+    saves SHARDED/distributed arrays natively — in a multi-process run every
+    process must call it (Orbax coordinates the collective save itself), so
+    it is deliberately NOT gated on ``is_primary``. Atomic finalize is
+    Orbax's own tmp-dir + rename."""
+    import orbax.checkpoint as ocp
+
+    payload = {"state": state, "extra": extra or {}}
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_orbax(path: str, state_template, extra_template: Optional[Dict[str, Any]] = None):
+    """Restore an Orbax checkpoint into the given TrainState template;
+    returns (state, extra). Orbax validates structure/shapes against the
+    template itself."""
+    import orbax.checkpoint as ocp
+
+    template = {"state": state_template, "extra": extra_template or {}}
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path), template)
+    return payload["state"], payload["extra"]
+
+
 def tar_enabled() -> bool:
     """Is the reference-compatible ``.tar`` format selected?"""
-    return ckpt_format() in ("tar", "both")
+    return "tar" in ckpt_formats()
 
 
 def maybe_save_native(tar_path: str, state, i: int) -> None:
-    """Write the native ``.msgpack`` sibling of ``tar_path`` when the
-    format selection asks for it (shared by all four trainers)."""
-    if ckpt_format() in ("native", "both"):
+    """Write the native ``.msgpack`` and/or Orbax sibling of ``tar_path``
+    when the format selection asks for them (shared by all four trainers;
+    every process calls this — per-format host-role gating is internal)."""
+    fmts = ckpt_formats()
+    if "native" in fmts:
         p = native_path(tar_path)
         save_native(p, state, extra={"global_step": i})
+        print("Saved checkpoints at", p)
+    if "orbax" in fmts:
+        p = orbax_path(tar_path)
+        save_orbax(p, state, extra={"global_step": i})
         print("Saved checkpoints at", p)
 
 
 def try_native_resume(ckpts: List[str], no_reload: bool, state_template):
-    """If the latest discovered checkpoint is a native snapshot, restore it
-    into ``state_template`` and return ``(state, start_iter)``; else None
-    (callers fall through to the ``.tar`` path)."""
-    if ckpts and not no_reload and ckpts[-1].endswith(".msgpack"):
-        print("Reloading from", ckpts[-1])
-        state, extra = load_native(ckpts[-1], state_template, {"global_step": 0})
+    """If the latest discovered checkpoint is a native msgpack or Orbax
+    snapshot, restore it into ``state_template`` and return
+    ``(state, start_iter)``; else None (callers fall through to the
+    ``.tar`` path)."""
+    if not ckpts or no_reload:
+        return None
+    last = ckpts[-1]
+    if last.endswith(".msgpack"):
+        print("Reloading from", last)
+        state, extra = load_native(last, state_template, {"global_step": 0})
+        return state, int(extra["global_step"])
+    if last.endswith(".orbax"):
+        print("Reloading from", last)
+        state, extra = load_orbax(last, state_template, {"global_step": 0})
         return state, int(extra["global_step"])
     return None
 
 
-def ckpt_format() -> str:
-    """``SWNERF_CKPT_FORMAT``: ``tar`` (default — the reference-compatible
-    torch-pickle archive), ``native`` (flax-msgpack pytree snapshot: no
-    torch dependency, no transpose/schema conversion on the hot save path),
-    or ``both``."""
+def ckpt_formats() -> frozenset:
+    """``SWNERF_CKPT_FORMAT`` as a validated set: a comma-list drawn from
+    ``tar`` (default — the reference-compatible torch-pickle archive),
+    ``native`` (flax-msgpack pytree snapshot: no torch dependency, no
+    transpose/schema conversion on the hot save path) and ``orbax``
+    (directory format; saves sharded arrays natively in multi-process
+    runs). Aliases: ``both`` = tar,native; ``all`` = all three."""
     v = os.environ.get("SWNERF_CKPT_FORMAT", "tar").lower()
-    if v not in ("tar", "native", "both"):
+    expanded = {"both": "tar,native", "all": "tar,native,orbax"}.get(v, v)
+    fmts = frozenset(s.strip() for s in expanded.split(",") if s.strip())
+    if not fmts or fmts - {"tar", "native", "orbax"}:
         raise ValueError(
-            f"SWNERF_CKPT_FORMAT={v!r}: expected tar | native | both"
+            f"SWNERF_CKPT_FORMAT={v!r}: expected a comma-set of "
+            "tar|native|orbax (aliases: both = tar,native; all = all three)"
         )
-    return v
+    return fmts
+
+
+def ckpt_format() -> str:
+    """The raw ``SWNERF_CKPT_FORMAT`` string, validated (the trainers call
+    this at startup to fail fast on a typo, not at the first save)."""
+    ckpt_formats()
+    return os.environ.get("SWNERF_CKPT_FORMAT", "tar").lower()
+
+
+def orbax_path(tar_path: str) -> str:
+    """``000123.tar`` -> ``000123.orbax`` sibling (a directory)."""
+    base = tar_path[:-4] if tar_path.endswith(".tar") else tar_path
+    return base + ".orbax"
 
 
 def native_path(tar_path: str) -> str:
@@ -436,11 +496,13 @@ def native_path(tar_path: str) -> str:
 
 def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) -> List[str]:
     """Latest-last list of ckpts — ``.tar`` (reference auto-resume,
-    run.py:262-268) and native ``.msgpack`` snapshots, ordered by iteration
-    NUMBER (lexicographic stem order would sort '1000000' before '990000'
-    once iterations outgrow the 06d padding); a ``.tar`` sorts after its
-    same-iteration ``.msgpack`` sibling, so ``ckpts[-1]`` prefers the
-    battle-tested compat format when both exist."""
+    run.py:262-268), native ``.msgpack`` snapshots and ``.orbax``
+    directories, ordered by iteration NUMBER (lexicographic stem order
+    would sort '1000000' before '990000' once iterations outgrow the 06d
+    padding); a ``.tar`` sorts after its same-iteration siblings, so
+    ``ckpts[-1]`` prefers the battle-tested compat format when both exist.
+    In-progress Orbax tmp dirs (``*.orbax-checkpoint-tmp-*``) are excluded
+    by the suffix filter — only finalized (renamed) saves are listed."""
     if ft_path is not None and ft_path != "None":
         return [ft_path]
     d = os.path.join(basedir, expname)
@@ -448,7 +510,8 @@ def find_checkpoints(basedir: str, expname: str, ft_path: Optional[str] = None) 
         return []
     names = [
         f for f in os.listdir(d)
-        if ("tar" in f or f.endswith(".msgpack")) and not f.endswith(".tmp")
+        if ("tar" in f or f.endswith(".msgpack") or f.endswith(".orbax"))
+        and not f.endswith(".tmp")
     ]
 
     def key(f):

@@ -1,6 +1,7 @@
 """Checkpoint compatibility tests: .tar round trips, torch-forward parity,
 and optimizer-state conversion."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -208,6 +209,46 @@ class TestTarIO:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_orbax_checkpoint_roundtrip(self, tmp_path):
+        from swnerf_tpu.train.checkpoint import load_orbax, save_orbax
+        from swnerf_tpu.train.loop import init_train_state
+        from swnerf_tpu.train import make_optimizer
+
+        cfg, field, params_c = _tiny_vanilla()
+        params = {"coarse": params_c, "fine": None}
+        opt = make_optimizer()
+        state = init_train_state(params, opt)
+        p = str(tmp_path / "000007.orbax")
+        save_orbax(p, state, extra={"global_step": 7})
+        assert os.path.isdir(p)
+
+        fresh = init_train_state(
+            {"coarse": field.init(jax.random.PRNGKey(9)), "fine": None}, opt
+        )
+        restored, extra = load_orbax(p, fresh, {"global_step": 0})
+        assert int(extra["global_step"]) == 7
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ckpt_formats_parsing(self, monkeypatch):
+        """The SWNERF_CKPT_FORMAT comma-set grammar + aliases, and the
+        fail-fast on unknown names."""
+        import pytest
+
+        from swnerf_tpu.train.checkpoint import ckpt_formats, tar_enabled
+
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "both")
+        assert ckpt_formats() == {"tar", "native"}
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "all")
+        assert ckpt_formats() == {"tar", "native", "orbax"}
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "orbax,tar")
+        assert ckpt_formats() == {"tar", "orbax"} and tar_enabled()
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "orbax")
+        assert not tar_enabled()
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "zarr")
+        with pytest.raises(ValueError, match="SWNERF_CKPT_FORMAT"):
+            ckpt_formats()
+
     def test_find_checkpoints(self, tmp_path):
         d = tmp_path / "exp"
         d.mkdir()
@@ -226,8 +267,11 @@ class TestTarIO:
         for n in ("000100.tar", "000100.msgpack", "000150.msgpack",
                   "000050.tar", "000200.msgpack.tmp"):
             (d / n).write_bytes(b"x")
+        (d / "000175.orbax").mkdir()  # finalized orbax save (a directory)
+        (d / "000180.orbax.orbax-checkpoint-tmp-12").mkdir()  # in-progress
         found = [f.split("/")[-1] for f in find_checkpoints(str(tmp_path), "exp")]
-        assert found == ["000050.tar", "000100.msgpack", "000100.tar", "000150.msgpack"]
+        assert found == ["000050.tar", "000100.msgpack", "000100.tar",
+                         "000150.msgpack", "000175.orbax"]
 
     def test_find_checkpoints_numeric_order(self, tmp_path):
         """Iterations past the 06d padding must still order numerically

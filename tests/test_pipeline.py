@@ -115,6 +115,35 @@ class TestVanillaPipeline:
         ckpt = torch.load(str(exp / "000020.tar"), map_location="cpu", weights_only=False)
         assert ckpt["global_step"] == 20
 
+    def test_orbax_ckpt_format(self, tmp_path, dataset, monkeypatch):
+        """SWNERF_CKPT_FORMAT=orbax writes Orbax checkpoint directories
+        (the format that saves sharded arrays natively in multi-process
+        runs), auto-resume restores the full TrainState from them, and
+        =all writes all three formats."""
+        from swnerf_tpu.pipelines.run_nerf import create_vanilla, train
+        from swnerf_tpu.utils.config import config_parser
+
+        logs = tmp_path / "logs"
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "orbax")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(_base_args(dataset, logs, ["--no_batching", "--N_importance", "4"]))
+        exp = logs / "tiny"
+        assert (exp / "000010.orbax").is_dir()
+        assert not (exp / "000010.tar").exists()
+
+        args = config_parser().parse_args(
+            _base_args(dataset, logs, ["--no_batching", "--N_importance", "4"])
+        )
+        _, _, _, _, state, start, _ = create_vanilla(args)
+        assert start == 10 and int(state.step) == 10
+        assert state.params["fine"] is not None
+
+        monkeypatch.setenv("SWNERF_CKPT_FORMAT", "all")
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "21")
+        train(_base_args(dataset, logs, ["--no_batching", "--N_importance", "4"]))
+        assert (exp / "000020.orbax").is_dir()
+        assert (exp / "000020.msgpack").exists() and (exp / "000020.tar").exists()
+
     def test_pool_mode_with_fine(self, tmp_path, dataset, monkeypatch):
         from swnerf_tpu.pipelines.run_nerf import train
 
