@@ -60,6 +60,43 @@ class TestShardedCLI:
         for k in sd_par:
             np.testing.assert_allclose(sd_par[k], sd_single[k], atol=2e-5, err_msg=k)
 
+    def test_llff_ndc_pool_sharded_matches_single(self, tmp_path, monkeypatch):
+        """LLFF dataset + NDC projection + pooled batching under the mesh —
+        the fern-shaped combination (run.py:433-455,600-653): the rays are
+        NDC-projected INSIDE the sharded jit, so the projection must
+        partition over the rays axis like everything else."""
+        from swnerf_tpu.data.synthetic import write_llff_scene
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        data = tmp_path / "llff"
+        write_llff_scene(str(data), n_images=6, size=8, n_samples=16)
+
+        def run(tag, parallel):
+            logs = tmp_path / tag
+            monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+            monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1" if parallel else "0")
+            train([
+                "--expname", "tiny", "--basedir", str(logs),
+                "--datadir", str(data), "--dataset_type", "llff",
+                "--factor", "1", "--llffhold", "3",
+                "--use_viewdirs",
+                "--netdepth", "2", "--netwidth", "32",
+                "--netdepth_fine", "2", "--netwidth_fine", "32",
+                "--multires", "4", "--multires_views", "2",
+                "--N_rand", "16", "--N_samples", "8", "--N_importance", "4",
+                "--chunk", "64",
+                "--i_weights", "10", "--i_print", "5",
+                "--i_video", "100000", "--i_testset", "100000",
+                "--precrop_iters", "0",
+            ])
+            return _load_sd(logs / "tiny" / "000010.tar")
+
+        sd_par = run("par", True)
+        sd_single = run("single", False)
+        assert sd_par.keys() == sd_single.keys()
+        for k in sd_par:
+            np.testing.assert_allclose(sd_par[k], sd_single[k], atol=2e-5, err_msg=k)
+
     def test_vanilla_image_sharded_matches_single(self, tmp_path, dataset, monkeypatch):
         """no_batching path (per-image pixel sampling, precrop curriculum)."""
         sd_par = _train_vanilla(dataset, tmp_path / "par", monkeypatch, True,
