@@ -77,6 +77,43 @@ class TestVanillaPipeline:
         assert (rdir / "000.png").exists()
         assert any(f.startswith("video.") for f in os.listdir(rdir))
 
+    def test_llff_train_render_only(self, tmp_path, monkeypatch):
+        """The forward-facing path end to end at the CLI: LLFF folder ->
+        NDC + pooled batching training -> checkpoint -> render_only
+        --render_test with finite metrics.json (the fern workflow,
+        run.py:433-455,545-595)."""
+        from swnerf_tpu.data.synthetic import write_llff_scene
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        data = tmp_path / "llff"
+        write_llff_scene(str(data), n_images=6, size=8, n_samples=16)
+        logs = tmp_path / "logs"
+        args = [
+            "--expname", "tiny", "--basedir", str(logs),
+            "--datadir", str(data), "--dataset_type", "llff",
+            "--factor", "1", "--llffhold", "3",
+            "--use_viewdirs",
+            "--netdepth", "2", "--netwidth", "32",
+            "--multires", "4", "--multires_views", "2",
+            "--N_rand", "16", "--N_samples", "8",
+            "--chunk", "64",
+            "--i_weights", "10", "--i_print", "5",
+            "--i_video", "100000", "--i_testset", "100000",
+            "--precrop_iters", "0",
+        ]
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(args)
+        exp = logs / "tiny"
+        assert (exp / "000010.tar").exists()
+
+        train(args + ["--render_only", "--render_test"])
+        rdirs = [d for d in os.listdir(exp) if d.startswith("renderonly_test_")]
+        assert rdirs
+        rdir = exp / sorted(rdirs)[-1]
+        metrics = json.loads((rdir / "metrics.json").read_text())
+        assert len(metrics["psnr"]) == 2  # llffhold=3 on 6 images
+        assert all(np.isfinite(v) for v in metrics["psnr"])
+
     def test_native_ckpt_format(self, tmp_path, dataset, monkeypatch):
         """SWNERF_CKPT_FORMAT=native writes flax-msgpack snapshots instead
         of torch-pickle .tar, auto-resume picks them up bit-exactly, and
