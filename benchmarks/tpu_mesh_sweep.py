@@ -54,9 +54,14 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
+    from swnerf_tpu.pipelines.extract_mesh import DEFAULT_BOUNDS
+
     chunk = 2048
-    xs = np.linspace(-1.0, 1.0, res)
-    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    # Same grid values as the product path (sample_grid's DEFAULT_BOUNDS),
+    # not just the same shapes — the compile-cache hit only needs shapes,
+    # but value-identity keeps the two timings directly comparable.
+    xs, ys, zs = (np.linspace(lo, hi, res) for lo, hi in DEFAULT_BOUNDS)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
     pad = (-pts.shape[0]) % chunk
     pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], 0)
@@ -78,10 +83,15 @@ def main():
     t0 = time.time()
     sweep(tiles).block_until_ready()
     dt = time.time() - t0
-    n_evals = tiles.shape[0] * chunk * views
+    # Same denominator convention as the product-path print above: USEFUL
+    # evals (res^3 * views). The device actually also evaluates the pad
+    # points sample_grid tiles in; report that fraction explicitly so the
+    # two M-evals/s figures stay comparable at any resolution.
+    pad_frac = pad / (res**3 + pad)
     print(
-        f"device-only sweep: {dt:.2f}s = {n_evals / dt / 1e6:.1f}M evals/s "
-        f"(single dispatch; the product-path gap is re-trace + the "
+        f"device-only sweep: {dt:.2f}s = {evals / dt / 1e6:.1f}M useful evals/s "
+        f"(+{100 * pad_frac:.2f}% pad evals; single dispatch; the "
+        f"product-path gap is re-trace + the "
         f"{res**3 * 16 / 1e6:.0f}MB host pull through the tunnel)"
     )
 

@@ -38,30 +38,46 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     # Scene selection mirrors parity_vs_torch.py (PARITY_SCENE=textured,
-    # PARITY_BKGD=black) so both sides of a study train on identical data.
-    gt_scene = os.environ.get("PARITY_SCENE", "sphere")
+    # PARITY_BKGD=black) so both sides of a study train on identical data:
+    # the writers are deterministic (numpy Generator, seed 0), so a scene
+    # written under PARITY_OUT=/tmp/parity_tpu is bit-identical to the
+    # reference queue's copy under /tmp/parity.
+    gt_scene = os.environ.get(
+        "PARITY_SCENE", "textured" if mode == "llff" else "sphere"
+    )
     bkgd = os.environ.get("PARITY_BKGD", "white")
     tag = ("" if gt_scene == "sphere" else f"_{gt_scene}") + (
         "" if bkgd == "white" else f"_{bkgd}"
     )
     data = os.path.join(out, f"data_{mode}{tag}")
     if not os.path.isdir(data):
-        from swnerf_tpu.data.synthetic import write_blender_scene
-
         size = int(os.environ.get("PARITY_SIZE", "64"))
-        write_blender_scene(
-            data, n_train=20, n_val=2, n_test=3, size=size,
-            dynamic=mode in ("dnerf", "tnerf", "multires"),
-            scene=gt_scene, white_bkgd=(bkgd != "black"),
-        )
+        if mode == "llff":
+            from swnerf_tpu.data.synthetic import write_llff_scene
+
+            write_llff_scene(data, n_images=24, size=size, scene=gt_scene)
+        else:
+            from swnerf_tpu.data.synthetic import write_blender_scene
+
+            write_blender_scene(
+                data, n_train=20, n_val=2, n_test=3, size=size,
+                dynamic=mode in ("dnerf", "tnerf", "multires"),
+                scene=gt_scene, white_bkgd=(bkgd != "black"),
+            )
         print("scene written:", data)
 
     cfg, _ = pv.build_config(mode, out, data, iters)
-    scene_args = ap.Namespace(
-        dataset_type="blender" if mode == "nerf" else "blender_dnerf",
-        datadir=data, half_res=False, testskip=1, white_bkgd=(bkgd != "black"),
-        render_test=False,
-    )
+    if mode == "llff":
+        scene_args = ap.Namespace(
+            dataset_type="llff", datadir=data, factor=1, llffhold=8,
+            spherify=False, no_ndc=False, render_test=False,
+        )
+    else:
+        scene_args = ap.Namespace(
+            dataset_type="blender" if mode == "nerf" else "blender_dnerf",
+            datadir=data, half_res=False, testskip=1,
+            white_bkgd=(bkgd != "black"), render_test=False,
+        )
     results = {}
     for seed in seeds:
         exp = f"our_{mode}_s{seed}"
