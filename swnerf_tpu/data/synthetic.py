@@ -264,3 +264,185 @@ def make_scene(
         rgb = render_gt(rays, n_samples)
         images.append(np.asarray(rgb).reshape(H, W, 3))
     return np.stack(images), poses, float(focal)
+
+
+def _render_pose_chunked(
+    H, W, focal, c2w, near, far, n_samples, scene, white_bkgd, chunk_rows=64
+):
+    """Row-chunked GT render (bounds host memory for the 512^2 deepvoxels
+    fixture: a one-shot render would materialize [H*W, n_samples, 3])."""
+    rays = make_rays_from_camera(H, W, float(focal), c2w, near=near, far=far)
+    out = []
+    step = chunk_rows * W
+    for s in range(0, H * W, step):
+        sl = Rays(
+            origins=rays.origins[s:s + step],
+            directions=rays.directions[s:s + step],
+            viewdirs=rays.viewdirs[s:s + step] if rays.viewdirs is not None else None,
+            near=rays.near[s:s + step],
+            far=rays.far[s:s + step],
+            times=None,
+        )
+        out.append(
+            np.asarray(render_gt(sl, n_samples, white_bkgd=white_bkgd, scene=scene))
+        )
+    return np.concatenate(out).reshape(H, W, 3)
+
+
+def write_linemod_scene(
+    root: str,
+    n_train: int = 4,
+    n_val: int = 1,
+    n_test: int = 2,
+    size: int = 16,
+    n_samples: int = 64,
+    seed: int = 0,
+    scene: str = "sphere",
+) -> np.ndarray:
+    """Write a RENDERABLE LINEMOD-format dataset: per-split
+    transforms_{split}.json with ABSOLUTE ``file_path`` entries, per-frame
+    ``intrinsic_matrix``, and split-level ``near``/``far`` metadata — the
+    exact schema of dataloader/load_LINEMOD.py:37-93 (absolute paths :57,
+    K from the test split's first frame :74-75, floor/ceil bounds :91-92).
+    Metadata bounds are deliberately non-integer (train 2.3/5.3, test
+    2.7/5.7) so the trainer's floor/ceil plumbing is observable:
+    near=floor(2.3)=2, far=ceil(5.7)=6. Returns the 3x3 K written.
+    """
+    import json
+    import os
+
+    import imageio.v2 as imageio
+
+    H = W = size
+    focal = 0.9 * W
+    K = np.array(
+        [[focal, 0.0, 0.5 * W], [0.0, focal, 0.5 * H], [0.0, 0.0, 1.0]]
+    )
+    rng = np.random.default_rng(seed)
+    bounds = {"train": (2.3, 5.3), "val": (2.5, 5.5), "test": (2.7, 5.7)}
+    for split, n in (("train", n_train), ("val", n_val), ("test", n_test)):
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            theta = float(rng.uniform(-180.0, 180.0))
+            phi = float(rng.uniform(-60.0, -10.0))
+            c2w = pose_spherical(theta, phi, 4.0)
+            rgb = _render_pose_chunked(
+                H, W, focal, c2w, 2.0, 6.0, n_samples, scene, white_bkgd=True
+            )
+            path = os.path.abspath(os.path.join(root, split, f"r_{i}.png"))
+            # 3-channel RGB: the reference keeps a (N,H,W,3) buffer
+            # (load_LINEMOD.py:85), unlike blender's RGBA.
+            imageio.imwrite(path, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            frames.append({
+                "file_path": path,
+                "transform_matrix": c2w.tolist(),
+                "intrinsic_matrix": K.tolist(),
+            })
+        near, far = bounds[split]
+        meta = {"frames": frames, "near": near, "far": far}
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    return K
+
+
+def write_deepvoxels_scene(
+    root: str,
+    scene_name: str = "cube",
+    n_train: int = 3,
+    n_val: int = 1,
+    n_test: int = 1,
+    n_samples: int = 32,
+    seed: int = 0,
+    scene: str = "sphere",
+) -> None:
+    """Write a RENDERABLE DeepVoxels-format dataset: {train,validation,test}/
+    <scene>/{intrinsics.txt, pose/*.txt, rgb/*.png} — the exact layout of
+    dataloader/load_deepvoxels.py:6-108. The loader hardcodes the 512^2
+    target sidelength (:7), so images ARE 512^2; the intrinsics.txt focal is
+    written at the native height and rescales to itself. Poses are written
+    world2cam-row-major 4x4 with the loader's y/z flip pre-inverted so the
+    flipped result is our c2w convention (_dir2poses :38-49).
+    """
+    import os
+
+    import imageio.v2 as imageio
+
+    H = W = 512
+    focal = 0.9 * W
+    rng = np.random.default_rng(seed)
+    flip = np.array(
+        [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1.0]]
+    )
+    splitdirs = {"train": n_train, "validation": n_val, "test": n_test}
+    for split, n in splitdirs.items():
+        base = os.path.join(root, split, scene_name)
+        os.makedirs(os.path.join(base, "pose"), exist_ok=True)
+        os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
+        # intrinsics.txt: focal cx cy / barycenter / near / scale / H W / w2c
+        with open(os.path.join(base, "intrinsics.txt"), "w") as f:
+            f.write(f"{focal} {0.5 * W} {0.5 * H} 0.\n")
+            f.write("0. 0. 0.\n1.\n1.\n")
+            f.write(f"{H} {W}\n")
+            f.write("0\n")
+        for i in range(n):
+            theta = float(rng.uniform(-180.0, 180.0))
+            phi = float(rng.uniform(-60.0, -10.0))
+            c2w = pose_spherical(theta, phi, 4.0)
+            rgb = _render_pose_chunked(
+                H, W, focal, c2w, 2.0, 6.0, n_samples, scene, white_bkgd=True
+            )
+            imageio.imwrite(
+                os.path.join(base, "rgb", f"{i:04d}.png"),
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            )
+            # The loader right-multiplies by the y/z flip; store c2w@flip so
+            # (c2w@flip)@flip == c2w comes back out.
+            stored = c2w @ flip
+            with open(os.path.join(base, "pose", f"{i:04d}.txt"), "w") as f:
+                f.write(" ".join(str(float(x)) for x in stored.reshape(-1)))
+
+
+def write_custom_scene(
+    root: str,
+    n_images: int = 10,
+    size: int = 16,
+    n_samples: int = 64,
+    seed: int = 0,
+    scene: str = "sphere",
+) -> None:
+    """Write a RENDERABLE custom ("SW capture")-format dataset: ONE
+    transforms.json with full fl_x/fl_y/cx/cy intrinsics and relative
+    ``file_path`` entries WITH extension, RGB (3-channel) images so the
+    loader's RGBA alpha-pad path runs — the schema of
+    dataloader/load_custom_data.py:86-161. The loader itself does the
+    (seeded) 80/10/10 shuffle split.
+    """
+    import json
+    import os
+
+    import imageio.v2 as imageio
+
+    H = W = size
+    focal = 0.9 * W
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    frames = []
+    for i in range(n_images):
+        theta = float(rng.uniform(-180.0, 180.0))
+        phi = float(rng.uniform(-60.0, -10.0))
+        c2w = pose_spherical(theta, phi, 4.0)
+        rgb = _render_pose_chunked(
+            H, W, focal, c2w, 2.0, 6.0, n_samples, scene, white_bkgd=True
+        )
+        rel = f"images/frame_{i:03d}.png"
+        imageio.imwrite(
+            os.path.join(root, rel), (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        )
+        frames.append({"file_path": rel, "transform_matrix": c2w.tolist()})
+    meta = {
+        "fl_x": focal, "fl_y": focal, "cx": 0.5 * W, "cy": 0.5 * H,
+        "frames": frames,
+    }
+    with open(os.path.join(root, "transforms.json"), "w") as f:
+        json.dump(meta, f)

@@ -230,3 +230,108 @@ class TestDeadInitWatchdog:
             wd2.check(i, 12.0)
         assert not wd2.warned
         assert capsys.readouterr().out == ""
+
+
+class TestOtherDatasetPipelines:
+    """VERDICT r3 item 3: the three vanilla dataset types never driven
+    through ``run_nerf.train`` end to end — LINEMOD, deepvoxels, custom.
+    Each test asserts the type-specific plumbing of pipelines/common.py
+    load_scene (reference run.py:433-511) AND runs a short train +
+    render_only at the CLI surface with finite outputs."""
+
+    def _train_render(self, args, exp, monkeypatch, n_test_frames):
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "11")
+        train(args)
+        assert (exp / "000010.tar").exists()
+        assert (exp / "args.txt").exists()
+        lines = [
+            json.loads(l) for l in (exp / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert all(np.isfinite(m["total_loss"]) for m in lines if "total_loss" in m)
+
+        train(args + ["--render_only", "--render_test"])
+        rdirs = [d for d in os.listdir(exp) if d.startswith("renderonly_test_")]
+        assert rdirs
+        metrics = json.loads(
+            (exp / sorted(rdirs)[-1] / "metrics.json").read_text()
+        )
+        assert len(metrics["psnr"]) == n_test_frames
+        assert all(np.isfinite(v) for v in metrics["psnr"])
+
+    def test_linemod_end_to_end(self, tmp_path, monkeypatch):
+        """LINEMOD: K comes from the split metadata's intrinsic_matrix and
+        near/far from floor/ceil over train+test bounds (run.py:473-487)."""
+        from swnerf_tpu.data.synthetic import write_linemod_scene
+        from swnerf_tpu.pipelines.common import load_scene
+        from swnerf_tpu.utils.config import config_parser
+
+        data = tmp_path / "linemod"
+        K_written = write_linemod_scene(str(data), size=16)
+        logs = tmp_path / "logs"
+        args = _base_args(data, logs, ["--no_batching"])
+        args[args.index("blender")] = "LINEMOD"
+
+        ns = config_parser().parse_args(args)
+        scene = load_scene(ns)
+        # floor(min(2.3, 2.7)) / ceil(max(5.3, 5.7)) — metadata-driven.
+        assert scene.near == 2.0 and scene.far == 6.0
+        np.testing.assert_allclose(scene.K, K_written)
+        assert scene.images.shape[-1] == 3  # (N,H,W,3) buffer, not RGBA
+
+        self._train_render(args, logs / "tiny", monkeypatch, n_test_frames=2)
+
+    def test_deepvoxels_end_to_end(self, tmp_path, monkeypatch):
+        """DeepVoxels: 512^2 fixed sidelength, pose-derived hemisphere
+        bounds near/far = hemi_r -/+ 1 (run.py:489-500)."""
+        from swnerf_tpu.data.synthetic import write_deepvoxels_scene
+        from swnerf_tpu.pipelines.common import load_scene
+        from swnerf_tpu.utils.config import config_parser
+
+        data = tmp_path / "dv"
+        write_deepvoxels_scene(str(data), scene_name="cube")
+        logs = tmp_path / "logs"
+        args = _base_args(data, logs, ["--no_batching", "--shape", "cube"])
+        args[args.index("blender")] = "deepvoxels"
+
+        ns = config_parser().parse_args(args)
+        scene = load_scene(ns)
+        assert scene.H == 512 and scene.W == 512
+        # All cameras sit on the radius-4 sphere -> hemi_r == 4.
+        assert scene.near == pytest.approx(3.0, abs=1e-4)
+        assert scene.far == pytest.approx(5.0, abs=1e-4)
+
+        self._train_render(args, logs / "tiny", monkeypatch, n_test_frames=1)
+
+    def test_custom_end_to_end(self, tmp_path, monkeypatch):
+        """Custom capture: the SEEDED 80/10/10 shuffle split drives which
+        frames train (the recorded fix of load_custom_data.py:94's unseeded
+        shuffle), and 3-channel images take the RGBA alpha-pad path."""
+        import random
+
+        from swnerf_tpu.data.synthetic import write_custom_scene
+        from swnerf_tpu.pipelines.common import load_scene
+        from swnerf_tpu.utils.config import config_parser
+
+        data = tmp_path / "custom"
+        write_custom_scene(str(data), n_images=10, size=16)
+        logs = tmp_path / "logs"
+        args = _base_args(data, logs, ["--no_batching"])
+        args[args.index("blender")] = "custom"
+
+        ns = config_parser().parse_args(args)
+        scene = load_scene(ns)
+        assert scene.near == 1.0 and scene.far == 6.0
+        # Reproduce the loader's seeded shuffle on the raw json and check
+        # the loaded pose order matches frame-for-frame: the split is the
+        # seeded permutation, train = first 8 of 10.
+        meta = json.loads((data / "transforms.json").read_text())
+        frames = list(meta["frames"])
+        random.Random(0).shuffle(frames)
+        want = np.array([f["transform_matrix"] for f in frames], np.float32)
+        np.testing.assert_allclose(scene.poses, want, atol=1e-6)
+        assert list(scene.i_train) == list(range(8))
+        assert list(scene.i_val) == [8] and list(scene.i_test) == [9]
+
+        self._train_render(args, logs / "tiny", monkeypatch, n_test_frames=1)
