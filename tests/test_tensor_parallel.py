@@ -168,6 +168,30 @@ class TestTensorParallelCLI:
         for k in sd_tp:
             np.testing.assert_allclose(sd_tp[k], sd_single[k], atol=2e-4, err_msg=k)
 
+    def test_cli_tp2_w512_matches_single(self, tmp_path, dataset, monkeypatch):
+        """The width TP exists FOR: at ``--netwidth 512`` (2x the reference
+        production width, the regime where one chip's VMEM-resident fused
+        kernel stops paying — PERFORMANCE.md 'TP rationale') the 2-way
+        model sharding still reproduces the single-device 10-step
+        trajectory. At W=512 every trunk fan_in/fan_out divides the model
+        axis, so nothing silently degrades to replicated: assert that too."""
+        from swnerf_tpu.parallel import mlp_param_specs
+
+        params, _ = _vanilla_params(W=512, D=8)
+        specs = mlp_param_specs(params, n_model=2)
+        assert all(
+            P() not in (l["w"],) for l in specs["pts_linears"]
+        ), "W=512 trunk must be fully model-sharded"
+
+        extra = ["--netwidth", "512", "--netwidth_fine", "512",
+                 "--netdepth", "8", "--N_importance", "4"]
+        sd_tp = self._train(dataset, tmp_path / "tp", monkeypatch, 2, extra)
+        sd_single = self._train(dataset, tmp_path / "single", monkeypatch, 0, extra)
+        assert sd_tp.keys() == sd_single.keys()
+        assert sd_tp["pts_linears.0.weight"].shape == (512, 27)  # multires 4
+        for k in sd_tp:
+            np.testing.assert_allclose(sd_tp[k], sd_single[k], atol=2e-4, err_msg=k)
+
     def test_cli_tp2_dnerf_matches_single(self, tmp_path, monkeypatch):
         """SWNERF_TENSOR_PARALLEL=2 on run_dnerf (deformation + canonical
         nets BOTH model-sharded, TV loss on) == single-device."""
