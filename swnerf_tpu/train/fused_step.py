@@ -41,6 +41,21 @@ def supports_fused_step(cfg, fcfg, rcfg: RenderConfig) -> bool:
     return ok
 
 
+def default_train_tiles(cfg, fine_cfg) -> tuple:
+    """Width-adaptive v5e tile defaults for the fused train step, as
+    ``("rc", "rf")`` strings (env-var default form).
+
+    Measured (benchmarks/tpu_tile_sweep.py, benchmarks/tpu_w512_step.py):
+    at the production W<=256 the big rc16/rf8 tiles + the raised Mosaic
+    VMEM cap win (29.5M vs 29.1M samp/s at rc8/rf4); at W=512 the
+    optimum inverts — weight bytes per layer quadruple, the kernel
+    becomes weight-residency-dominated, and the small rc4/rf2 tiles win
+    (11.14M vs 10.22M at either larger tiling).
+    `SWNERF_FUSED_TILE_COARSE`/`_FINE` override either regime."""
+    wide = max(cfg.netwidth, fine_cfg.netwidth) > 256
+    return ("4", "2") if wide else ("16", "8")
+
+
 def supports_fused_tnerf_step(cfg, rcfg: RenderConfig) -> bool:
     """The fused T-NeRF step: single time-conditioned pass (the runner
     forces n_importance=0, reference run_tnerf.py:329), fourier embeds."""
@@ -147,18 +162,17 @@ def make_fused_train_step(
     same bits)."""
     import os
 
-    # Round-3 v5e defaults: rc16/rf8 + the raised Mosaic VMEM cap measured
-    # fastest for the vanilla step (29.5M vs 29.1M at rc8/rf4); bigger
-    # tiles regress (benchmarks/tpu_tile_sweep.py with
-    # SWNERF_FUSED_VMEM_MB=100).
+    fine_cfg = fcfg if fcfg is not None else cfg
+    rc_default, rf_default = default_train_tiles(cfg, fine_cfg)
     if rays_per_tile_coarse is None:
-        rays_per_tile_coarse = int(os.environ.get("SWNERF_FUSED_TILE_COARSE", "16"))
+        rays_per_tile_coarse = int(
+            os.environ.get("SWNERF_FUSED_TILE_COARSE", rc_default))
     if rays_per_tile_fine is None:
-        rays_per_tile_fine = int(os.environ.get("SWNERF_FUSED_TILE_FINE", "8"))
+        rays_per_tile_fine = int(
+            os.environ.get("SWNERF_FUSED_TILE_FINE", rf_default))
     # Full activation cache (remat=0) trades VMEM for ~6 fewer matmuls per
     # tile; viable at small tiles — see PERFORMANCE.md.
     remat = os.environ.get("SWNERF_FUSED_REMAT", "1") != "0"
-    fine_cfg = fcfg if fcfg is not None else cfg
 
     def train_step(state: TrainState, rays: Rays, target, rng):
         step_rng = jax.random.fold_in(rng, state.step)

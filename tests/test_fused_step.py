@@ -158,3 +158,17 @@ class TestFusedStep:
                 first = float(metrics["total_loss"])
         last = float(metrics["total_loss"])
         assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_default_tiles_width_adaptive():
+    """v5e tile defaults flip at W>256 (benchmarks/tpu_w512_step.py:
+    rc4/rf2 wins at W=512, rc16/rf8 at the production W=256)."""
+    from swnerf_tpu.models import VanillaNeRFConfig
+    from swnerf_tpu.train.fused_step import default_train_tiles
+
+    w256 = VanillaNeRFConfig(netwidth=256)
+    w512 = VanillaNeRFConfig(netwidth=512)
+    assert default_train_tiles(w256, w256) == ("16", "8")
+    assert default_train_tiles(w512, w512) == ("4", "2")
+    # a wide fine net alone is enough to flip the regime
+    assert default_train_tiles(w256, w512) == ("4", "2")
