@@ -47,7 +47,8 @@ def main():
     from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
     from swnerf_tpu.render import RenderConfig, render_image
 
-    cfg = VanillaNeRFConfig()
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    cfg = VanillaNeRFConfig(netwidth=width)
     rcfg = RenderConfig(n_samples=64, n_importance=128, perturb=0.0,
                         white_bkgd=True, raw_noise_std=0.0)
     rays = make_rays(H * W)
@@ -85,7 +86,8 @@ def main():
               flush=True)
         results[f"rc{rc}_rf{rf}"] = {"ms_per_frame": ms, "rgb_diff": diff}
 
-    with open("/tmp/tpu_eval_tiles.json", "w") as f:
+    results["width"] = width
+    with open(f"/tmp/tpu_eval_tiles_w{width}.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)
 

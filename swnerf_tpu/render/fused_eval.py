@@ -25,13 +25,20 @@ from swnerf_tpu.ops.sampling import sample_along_rays, sample_pdf_merge
 from swnerf_tpu.train.fused_step import _dists_scaled
 
 
-def _eval_tiles(default_rc: int = 32, default_rf: int = 16):
+def _eval_tiles(mcfg=None):
     """Ray tiles for the forward-only eval kernels. Eval-specific knobs
     win; the shared train-tile knobs are honored next (back-compat); the
     defaults differ from the train step's because the forward-only pass
     has no reverse-sweep working set (store=False) and bigger tiles are
     pure matmul-row win up to rc32/rf16 — the measured 400^2-frame
-    optimum (benchmarks/tpu_eval_tiles.py; rc64+ regresses)."""
+    optimum at the production W<=256 (benchmarks/tpu_eval_tiles.py;
+    rc64+ regresses). At W>256 the optimum inverts, same as the train
+    step (train/fused_step.py default_train_tiles): weight bytes per
+    layer quadruple and the weight-residency-dominated kernel wants the
+    small rc8/rf4 tiles (1405.6 vs 1541.5 ms/frame at W=512, measured
+    benchmarks/tpu_eval_tiles.py 512)."""
+    wide = mcfg is not None and getattr(mcfg, "netwidth", 256) > 256
+    default_rc, default_rf = (8, 4) if wide else (32, 16)
     rc = int(os.environ.get(
         "SWNERF_FUSED_TILE_EVAL_COARSE",
         os.environ.get("SWNERF_FUSED_TILE_COARSE", str(default_rc))))
@@ -72,7 +79,7 @@ def make_vanilla_eval_pass(mcfg, interpret: bool = False,
     NeRFOriginal trunk family, from-rays in-kernel encode)."""
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc, rf = _eval_tiles()
+    rc, rf = _eval_tiles(mcfg)
 
     def run(params, fine_params, fine_field, rays, ecfg):
         n = rays.origins.shape[0]
@@ -119,7 +126,7 @@ def make_tnerf_eval_pass(mcfg, interpret: bool = False,
     and the combined [embed(xyz)|embed(t)] constants (arch=\"tnerf\")."""
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc, _ = _eval_tiles()
+    rc, _ = _eval_tiles(mcfg)
 
     def run(params, fine_params, fine_field, rays, ecfg):
         del fine_params, fine_field  # single model (run_tnerf.py:329)
@@ -154,7 +161,7 @@ def make_dnerf_eval_pass(mcfg, interpret: bool = False,
     from swnerf_tpu.ops.pallas.raymarch import fused_time_net, supports_time_net
     from swnerf_tpu.ops.pallas.render_fused import fused_render_pass
 
-    rc, rf = _eval_tiles()
+    rc, rf = _eval_tiles(mcfg)
 
     def dx_at(tp, ccfg, pts, times):
         tb = jnp.broadcast_to(times[..., None, :], pts.shape[:-1] + (1,))

@@ -285,14 +285,17 @@ class TestExportModelCLI:
             # Reference must be JITTED: the level-0 multires embedding uses
             # 20 freqs (2^19-radian sin/cos args) where XLA:CPU's fused trig
             # range reduction differs from the eager per-op path by O(0.1).
-            # The artifact contract is "same pixels as the jitted program".
+            # A jitted reference matches to ~1 ULP, not bit-exactly: the
+            # round-tripped StableHLO recompiles with its own fusion choices
+            # (same atol=1e-6 contract as the other export tests above).
             ref = jax.jit(
                 lambda p, r: render_rays(
                     fields[layer], p["coarse"], r, rcfg.eval_mode(), rng=None,
                     fine_params=p["fine"],
                 )
             )(params_all[layer], rays)
-            np.testing.assert_array_equal(np.asarray(rgb), np.asarray(ref["rgb"]))
+            np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref["rgb"]),
+                                       atol=1e-6)
             assert np.isfinite(np.asarray(rgb)).all()
 
 
