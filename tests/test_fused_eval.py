@@ -244,3 +244,23 @@ class TestFusedEval:
         np.testing.assert_allclose(
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
         )
+
+
+def test_eval_tiles_width_adaptive(monkeypatch):
+    """Eval tile defaults flip at W>256 (benchmarks/tpu_eval_tiles.py 512:
+    rc8/rf4 at 1405.6 ms/frame beats rc32/rf16 at 1541.5; at W=256 the
+    rc32/rf16 default is the measured optimum). Env knobs override either
+    regime, eval-specific winning over the shared train knobs."""
+    from swnerf_tpu.models import VanillaNeRFConfig
+    from swnerf_tpu.render.fused_eval import _eval_tiles
+
+    for var in ("SWNERF_FUSED_TILE_EVAL_COARSE", "SWNERF_FUSED_TILE_EVAL_FINE",
+                "SWNERF_FUSED_TILE_COARSE", "SWNERF_FUSED_TILE_FINE"):
+        monkeypatch.delenv(var, raising=False)
+    assert _eval_tiles(VanillaNeRFConfig(netwidth=256)) == (32, 16)
+    assert _eval_tiles(VanillaNeRFConfig(netwidth=512)) == (8, 4)
+    assert _eval_tiles(None) == (32, 16)
+    monkeypatch.setenv("SWNERF_FUSED_TILE_COARSE", "64")
+    assert _eval_tiles(VanillaNeRFConfig(netwidth=512)) == (64, 4)
+    monkeypatch.setenv("SWNERF_FUSED_TILE_EVAL_COARSE", "16")
+    assert _eval_tiles(VanillaNeRFConfig(netwidth=512)) == (16, 4)
