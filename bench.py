@@ -50,6 +50,10 @@ def main():
         and prec == "DEFAULT"
         and os.environ.get("SWNERF_FUSED", "1") != "0"
         and os.environ.get("SWNERF_FUSED_STEP", "1") != "0"
+        # Same dtype gate as the pipelines (run_nerf.py): the fused kernels
+        # are bf16-trunk; SWNERF_FUSED_DTYPE=f32 must fall through to the
+        # XLA step or an "f32 bench" silently measures bf16.
+        and os.environ.get("SWNERF_FUSED_DTYPE", "bf16") == "bf16"
         and supports_fused_step(mcfg, mcfg, rcfg)
     )
     if use_fused_step:
