@@ -464,6 +464,63 @@ def chunk_until_event(i: int, n_iters: int, k_max: int, cadences) -> int:
     return max(1, k)
 
 
+class DeadInitDetected(RuntimeError):
+    """A watchdog-confirmed dead-density init draw, eligible for auto-restart
+    (raised only when SWNERF_AUTO_RESEED budget remains — see
+    ``auto_reseed_loop``)."""
+
+
+def reseed_attempt() -> int:
+    """Current auto-reseed attempt counter (0 = the original seed)."""
+    return int(os.environ.get("SWNERF_RESEED_ATTEMPT", "0") or 0)
+
+
+def seed_key(offset: int = 0):
+    """The CLI PRNG root: PRNGKey(SWNERF_SEED + offset), folded with the
+    auto-reseed attempt counter when an SWNERF_AUTO_RESEED restart is in
+    flight. Deterministic: attempt k always derives the same key, so a
+    recovered run is exactly reproducible with SWNERF_RESEED_ATTEMPT=k."""
+    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + offset)
+    attempt = reseed_attempt()
+    if attempt:
+        key = jax.random.fold_in(key, attempt)
+    return key
+
+
+def auto_reseed_loop(train_once, argv=None):
+    """Run a trainer, restarting with a fold_in-derived init key when the
+    DeadInitWatchdog confirms the dead-density draw.
+
+    Opt-in via SWNERF_AUTO_RESEED=N (max restarts), bounded and
+    deterministic. The reference has no equivalent: a negative density-bias
+    draw has exactly zero gradients and silently wastes the run's full
+    budget rendering the constant background (3/10 reference runs on the
+    textured dynamic gate, PARITY_TORCH.md 'Seed pathology'; the reference's
+    only remedy is the manual --raw_noise_std 1e0 flag). Restarts only
+    happen before the first checkpoint is written (DeadInitWatchdog
+    ``restart_until``), so auto-resume can never reload a dead attempt."""
+    prev = os.environ.get("SWNERF_RESEED_ATTEMPT")
+    budget = int(os.environ.get("SWNERF_AUTO_RESEED", "0") or 0)
+    try:
+        while True:
+            try:
+                return train_once(argv)
+            except DeadInitDetected:
+                attempt = reseed_attempt() + 1
+                if attempt > budget:  # defensive; the watchdog pre-checks
+                    raise
+                print(
+                    f"[AUTO-RESEED] attempt {attempt}/{budget}: reinitializing "
+                    f"with fold_in(seed, {attempt}) and restarting from iter 0"
+                )
+                os.environ["SWNERF_RESEED_ATTEMPT"] = str(attempt)
+    finally:
+        if prev is None:
+            os.environ.pop("SWNERF_RESEED_ATTEMPT", None)
+        else:
+            os.environ["SWNERF_RESEED_ATTEMPT"] = prev
+
+
 class DeadInitWatchdog:
     """Warn once when a run's PSNR sits flat AT the constant-background floor.
 
@@ -478,14 +535,26 @@ class DeadInitWatchdog:
     The pathology is flatness AT the floor — a converged run that plateaus
     high must not trip this (the floor is ~11-14 dB on the reference scenes;
     a live run blows past 16 dB within the first few hundred iters).
+
+    With ``restart_until`` > 0 (trainers pass their first-checkpoint
+    iteration) and SWNERF_AUTO_RESEED budget remaining, detection raises
+    :class:`DeadInitDetected` instead of warning so ``auto_reseed_loop``
+    can reinitialize and restart — but only while no checkpoint exists yet,
+    so a restart can never auto-resume the dead attempt's weights.
     """
 
     def __init__(self, print_cadence: int, min_iter: int = 500,
-                 window: int = 8, floor_db: float = 16.0):
+                 window: int = 8, floor_db: float = 16.0,
+                 restart_until: int = 0):
         self.print_cadence = int(print_cadence) if print_cadence else 1
-        self.min_iter = min_iter
+        # SWNERF_WATCHDOG_* are TEST-SCALE hooks: tiny scenes have a lower
+        # constant-background floor and larger minibatch-PSNR noise than the
+        # 400^2 product scenes the defaults are calibrated for.
+        self.min_iter = int(os.environ.get("SWNERF_WATCHDOG_MIN_ITER", min_iter))
         self.window = window
-        self.floor_db = floor_db
+        self.floor_db = float(os.environ.get("SWNERF_WATCHDOG_FLOOR", floor_db))
+        self.spread_db = float(os.environ.get("SWNERF_WATCHDOG_SPREAD", 0.02))
+        self.restart_until = restart_until
         self.history: list = []
         self.warned = False
 
@@ -497,8 +566,16 @@ class DeadInitWatchdog:
         if (
             len(self.history) >= self.window
             and max(self.history) < self.floor_db
-            and max(self.history) - min(self.history) < 0.02
+            and max(self.history) - min(self.history) < self.spread_db
         ):
+            budget = int(os.environ.get("SWNERF_AUTO_RESEED", "0") or 0)
+            if budget and reseed_attempt() < budget and i < self.restart_until:
+                print(
+                    f"[AUTO-RESEED] PSNR flat at {psnr:.2f} dB through iter {i} "
+                    "— dead-density init confirmed; restarting with a "
+                    "reseeded init (SWNERF_AUTO_RESEED)"
+                )
+                raise DeadInitDetected(f"dead init at iter {i} (psnr {psnr:.2f})")
             self.warned = True
             print(
                 f"[WARN] PSNR has been flat at {psnr:.2f} dB for "

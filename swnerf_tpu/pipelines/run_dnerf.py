@@ -31,8 +31,10 @@ from swnerf_tpu.models import DNeRFConfig, make_dnerf_field, make_nerf_original_
 from swnerf_tpu.pipelines.common import (
     DeadInitWatchdog,
     ImageSampler,
+    auto_reseed_loop,
     load_scene,
     render_path,
+    seed_key,
 )
 from swnerf_tpu.render.core import RenderConfig, Rays, render_rays
 from swnerf_tpu.train import make_optimizer, mse, mse_to_psnr
@@ -82,7 +84,7 @@ def create_dnerf(args):
     else:
         raise ValueError(f"nerf_type {kind!r} not recognized")
 
-    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
+    key = seed_key()
     k1, k2 = jax.random.split(key)
     params = {"coarse": field.init(k1), "fine": None}
     ffield = None
@@ -273,6 +275,14 @@ def pick_neighbor_time(rng: np.random.Generator, times: np.ndarray, img_i: int) 
 
 
 def train(argv=None):
+    """Product entry. SWNERF_AUTO_RESEED=N recovers watchdog-confirmed
+    dead-density init draws by restarting with a fold_in-derived key
+    (common.auto_reseed_loop); the reference d_nerf/run_dnerf.py wastes
+    the whole budget on such draws (PARITY_TORCH.md 'Seed pathology')."""
+    return auto_reseed_loop(_train_impl, argv)
+
+
+def _train_impl(argv=None):
     from swnerf_tpu.parallel.multihost import initialize_from_env
 
     initialize_from_env()  # multi-process opt-in; no-op single-host
@@ -407,7 +417,7 @@ def train(argv=None):
         )
         if tp_shardings is None:
             state = replicate(mesh, state)
-    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+    base_rng = seed_key(1)
     host_rng = np.random.default_rng(0)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
@@ -417,7 +427,11 @@ def train(argv=None):
 
     cadences = (args.i_weights, args.i_print, args.i_img, args.i_video, args.i_testset)
 
-    watchdog = DeadInitWatchdog(args.i_print)
+    # Restarts only before the first checkpoint and never on a resume, so
+    # auto-resume can't reload a dead attempt's weights.
+    watchdog = DeadInitWatchdog(
+        args.i_print, restart_until=args.i_weights if start == 0 else 0
+    )
 
     def flush_pending(pending):
         # One-boundary-behind metric fetch keeps the dispatch pipeline full

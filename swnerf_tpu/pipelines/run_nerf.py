@@ -26,11 +26,13 @@ from swnerf_tpu.pipelines.common import (
     DeadInitWatchdog,
     ImageSampler,
     RayPoolSampler,
+    auto_reseed_loop,
     load_scene,
     make_image_step,
     make_pool_step,
     render_only,
     render_path,
+    seed_key,
 )
 from swnerf_tpu.render.core import RenderConfig
 from swnerf_tpu.train import make_optimizer, make_train_step
@@ -72,7 +74,7 @@ def create_vanilla(args):
     field = make_vanilla_field(mcfg)
     fine_field = None
     fcfg = None
-    key = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))
+    key = seed_key()
     k1, k2 = jax.random.split(key)
     params = {"coarse": field.init(k1), "fine": None}
     if args.N_importance > 0:
@@ -159,6 +161,14 @@ def save_vanilla_ckpt(args, state: TrainState, i: int):
 
 
 def train(argv=None):
+    """Product entry. With SWNERF_AUTO_RESEED=N set, a watchdog-confirmed
+    dead-density init draw restarts training (≤N times) with a
+    fold_in-derived key — see common.auto_reseed_loop; the reference
+    (run.py:426) has no recovery for this pathology."""
+    return auto_reseed_loop(_train_impl, argv)
+
+
+def _train_impl(argv=None):
     # Opt-in multi-process init (SWNERF_COORDINATOR et al.) before the first
     # device query; a no-op on every single-host run (parallel/multihost.py).
     from swnerf_tpu.parallel.multihost import initialize_from_env
@@ -254,7 +264,7 @@ def train(argv=None):
         print("Using the fused two-kernel train step")
     else:
         train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
-    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+    base_rng = seed_key(1)
 
     # K steps per dispatch: a lax.scan inside one jit amortizes the per-step
     # host round-trip (the reference pays one Python-loop + launch round
@@ -302,7 +312,12 @@ def train(argv=None):
     print("TRAIN views are", scene.i_train)
     print("TEST views are", scene.i_test)
 
-    watchdog = DeadInitWatchdog(args.i_print)
+    # Auto-reseed restarts are only legal before the first checkpoint
+    # exists (and never on a resumed run), so auto-resume can't reload a
+    # dead attempt's weights.
+    watchdog = DeadInitWatchdog(
+        args.i_print, restart_until=args.i_weights if start == 0 else 0
+    )
 
     def flush_pending(pending):
         """Fetch + log the PREVIOUS boundary's metrics. Deferring the fetch

@@ -21,8 +21,10 @@ from swnerf_tpu.models import TNeRFConfig, make_tnerf_field
 from swnerf_tpu.pipelines.common import (
     DeadInitWatchdog,
     ImageSampler,
+    auto_reseed_loop,
     load_scene,
     render_path,
+    seed_key,
 )
 from swnerf_tpu.pipelines.run_dnerf import make_dnerf_step
 from swnerf_tpu.render.core import RenderConfig
@@ -58,7 +60,7 @@ def create_tnerf(args):
         i_embed=args.i_embed,
     )
     field = make_tnerf_field(mcfg)
-    params = {"coarse": field.init(jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")))), "fine": None}
+    params = {"coarse": field.init(seed_key()), "fine": None}
 
     rcfg = RenderConfig(
         n_samples=args.N_samples,
@@ -113,6 +115,13 @@ def save_tnerf_ckpt(args, state: TrainState, i: int):
 
 
 def train(argv=None):
+    """Product entry. SWNERF_AUTO_RESEED=N recovers watchdog-confirmed
+    dead-density init draws via a fold_in-derived restart
+    (common.auto_reseed_loop); the reference has no equivalent."""
+    return auto_reseed_loop(_train_impl, argv)
+
+
+def _train_impl(argv=None):
     from swnerf_tpu.parallel.multihost import initialize_from_env
 
     initialize_from_env()  # multi-process opt-in; no-op single-host
@@ -223,12 +232,15 @@ def train(argv=None):
         )
         if tp_shardings is None:
             state = replicate(mesh, state)
-    base_rng = jax.random.PRNGKey(int(os.environ.get("SWNERF_SEED", "0")) + 1)
+    base_rng = seed_key(1)
 
     n_iters = int(os.environ.get("SWNERF_MAX_ITERS", args.N_iter + 1))
     samples_per_step = args.N_rand * rcfg.n_samples
 
-    watchdog = DeadInitWatchdog(args.i_print)
+    # Restarts only before the first checkpoint and never on a resume.
+    watchdog = DeadInitWatchdog(
+        args.i_print, restart_until=args.i_weights if start == 0 else 0
+    )
 
     def flush_pending(pending):
         # One-boundary-behind metric fetch (see run_nerf.py flush_pending).
