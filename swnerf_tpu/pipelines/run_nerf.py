@@ -264,6 +264,27 @@ def _train_impl(argv=None):
         print("Using the fused two-kernel train step")
     else:
         train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
+
+    # Precision warm-start: SWNERF_FUSED_DTYPE_SCHEDULE=f32@K runs the f32
+    # autodiff step for iters 1..K, then switches to the fused bf16 step.
+    # Both consume the same TrainState (params stay f32 in both paths; only
+    # the compute dtype differs), so the switch is pure dispatch. Motivation:
+    # bf16's measured -1.3 to -2.2 dB early-convergence lag at 5k iters in
+    # the 31 dB LLFF regime (PERFORMANCE.md 'bf16 early-convergence lag'),
+    # at ~15% of a 10k run's wall clock for K=2000.
+    warm_until = 0
+    warm_train_step = None
+    sched = os.environ.get("SWNERF_FUSED_DTYPE_SCHEDULE", "")
+    if sched and use_fused_step:
+        kind, _, at = sched.partition("@")
+        if kind != "f32" or not at.isdigit():
+            raise ValueError(
+                f"SWNERF_FUSED_DTYPE_SCHEDULE={sched!r}: expected 'f32@<iters>'"
+            )
+        warm_until = int(at)
+        warm_train_step = make_train_step(field, rcfg, optimizer, fine_field=fine_field)
+        print(f"Precision warm-start: f32 autodiff step through iter {warm_until}, "
+              "fused bf16 step after")
     base_rng = seed_key(1)
 
     # K steps per dispatch: a lax.scan inside one jit amortizes the per-step
@@ -279,6 +300,7 @@ def _train_impl(argv=None):
 
     k_disp = steps_per_dispatch()
     use_batching = not args.no_batching
+    scan_fn = warm_step_fn = warm_scan_fn = None
     if use_batching:
         sampler = RayPoolSampler(scene, args.N_rand)
         step_fn = make_pool_step(train_step, rcfg, scene, mesh=mesh,
@@ -286,6 +308,13 @@ def _train_impl(argv=None):
         if k_disp > 1:
             scan_fn = make_pool_scan_step(train_step, rcfg, scene, mesh=mesh,
                                           state_shardings=tp_shardings)
+        if warm_train_step is not None:
+            warm_step_fn = make_pool_step(warm_train_step, rcfg, scene, mesh=mesh,
+                                          state_shardings=tp_shardings)
+            if k_disp > 1:
+                warm_scan_fn = make_pool_scan_step(
+                    warm_train_step, rcfg, scene, mesh=mesh,
+                    state_shardings=tp_shardings)
         if mesh is not None:
             sampler.pool = replicate(mesh, sampler.pool)
     else:
@@ -295,6 +324,13 @@ def _train_impl(argv=None):
         if k_disp > 1:
             scan_fn = make_image_scan_step(train_step, rcfg, scene, mesh=mesh,
                                            state_shardings=tp_shardings)
+        if warm_train_step is not None:
+            warm_step_fn = make_image_step(warm_train_step, rcfg, scene, mesh=mesh,
+                                           state_shardings=tp_shardings)
+            if k_disp > 1:
+                warm_scan_fn = make_image_scan_step(
+                    warm_train_step, rcfg, scene, mesh=mesh,
+                    state_shardings=tp_shardings)
         images_dev = jnp.asarray(scene.images)
         poses_dev = jnp.asarray(scene.poses[:, :3, :4])
         if mesh is not None:
@@ -306,7 +342,8 @@ def _train_impl(argv=None):
     samples_per_step = args.N_rand * (
         rcfg.n_samples + (rcfg.n_samples + rcfg.n_importance if rcfg.n_importance else 0)
     )
-    cadences = (args.i_weights, args.i_video, args.i_testset, args.i_print)
+    # warm_until is a chunk boundary too, so no dispatch mixes dtypes.
+    cadences = (args.i_weights, args.i_video, args.i_testset, args.i_print, warm_until)
 
     print("Training Begin")
     print("TRAIN views are", scene.i_train)
@@ -347,24 +384,29 @@ def _train_impl(argv=None):
         # every artifact lands on the same iteration as a per-step loop.
         k = chunk_until_event(i, n_iters, k_disp, cadences) if k_disp > 1 else 1
         profiler.step(i, start)
+        # Warm-start dispatch: the whole chunk i..i+k-1 is on one side of
+        # warm_until (it's in cadences), so this is a per-chunk choice.
+        warm = i <= warm_until
+        sf = warm_step_fn if warm else step_fn
+        scf = warm_scan_fn if warm else scan_fn
         if use_batching:
             if k == 1:
                 idx = jnp.asarray(sampler.next_indices())
-                state, metrics = step_fn(state, sampler.pool, idx, base_rng)
+                state, metrics = sf(state, sampler.pool, idx, base_rng)
             else:
                 idx_k = np.stack([sampler.next_indices() for _ in range(k)])
-                state, metrics = scan_fn(state, sampler.pool, jnp.asarray(idx_k), base_rng)
+                state, metrics = scf(state, sampler.pool, jnp.asarray(idx_k), base_rng)
         else:
             if k == 1:
                 img_i, pixels = sampler.next(i)
-                state, metrics = step_fn(
+                state, metrics = sf(
                     state, images_dev, poses_dev, img_i, jnp.asarray(pixels), base_rng
                 )
             else:
                 picks = [sampler.next(i + j) for j in range(k)]
                 img_i_k = np.asarray([p[0] for p in picks], np.int32)
                 pixels_k = np.stack([p[1] for p in picks])
-                state, metrics = scan_fn(
+                state, metrics = scf(
                     state, images_dev, poses_dev, jnp.asarray(img_i_k),
                     jnp.asarray(pixels_k), base_rng,
                 )

@@ -129,6 +129,46 @@ class TestShardedCLI:
         assert np.isfinite(m["total_loss"])
         assert (logs / "tiny" / "000002.tar").exists()
 
+    def test_precision_warm_start_schedule(self, tmp_path, dataset, monkeypatch, capsys):
+        """SWNERF_FUSED_DTYPE_SCHEDULE=f32@K: the f32 autodiff step runs
+        iters 1..K, then the fused step takes over — the mitigation for
+        bf16's measured early-convergence lag (PERFORMANCE.md). On the CPU
+        mesh force-interpret stands in for the real bf16 kernels; the test
+        pins the dispatch plumbing (both paths advance the same TrainState
+        across the switch, chunk boundaries respect K) at the CLI surface."""
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "9")
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        monkeypatch.setenv("SWNERF_FUSED_DTYPE_SCHEDULE", "f32@4")
+        monkeypatch.setenv("SWNERF_DATA_PARALLEL", "1")
+        logs = tmp_path / "logs"
+        m = train(_base_args(dataset, logs, [
+            "--netdepth", "6", "--netwidth", "128",
+            "--netdepth_fine", "6", "--netwidth_fine", "128",
+            "--N_importance", "4", "--N_samples", "4",
+            "--i_weights", "8",
+        ]))
+        out = capsys.readouterr().out
+        assert "Precision warm-start: f32 autodiff step through iter 4" in out
+        assert np.isfinite(m["total_loss"])
+        ckpt = torch.load(str(logs / "tiny" / "000008.tar"),
+                          map_location="cpu", weights_only=False)
+        assert ckpt["global_step"] == 8
+
+    def test_warm_start_schedule_rejects_bad_spec(self, tmp_path, dataset, monkeypatch):
+        from swnerf_tpu.pipelines.run_nerf import train
+
+        monkeypatch.setenv("SWNERF_MAX_ITERS", "3")
+        monkeypatch.setenv("SWNERF_FUSED_STEP", "force-interpret")
+        monkeypatch.setenv("SWNERF_FUSED_DTYPE_SCHEDULE", "bf16@x")
+        with pytest.raises(ValueError, match="SWNERF_FUSED_DTYPE_SCHEDULE"):
+            train(_base_args(dataset, tmp_path / "logs", [
+                "--netdepth", "6", "--netwidth", "128",
+                "--netdepth_fine", "6", "--netwidth_fine", "128",
+                "--N_importance", "4", "--N_samples", "4",
+            ]))
+
     def test_uneven_batch_shards(self, tmp_path, dataset, monkeypatch):
         """N_rand not divisible by the device count still trains on the
         largest divisor mesh (e.g. N_rand=20 on 8 devices -> 5 chips; the
