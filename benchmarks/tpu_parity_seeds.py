@@ -86,8 +86,10 @@ def main():
         try:
             t = pv.run_ours(mode, cfgp, iters, seed=seed)
             tar = os.path.join(out, "logs_our", exp, f"{iters:06d}.tar")
-            psnr, frames = pv.eval_ckpt(mode, tar, scene_args, f"ours-tpu s{seed}")
-            results[seed] = {"psnr": psnr, "frames": frames, "train_s": t}
+            psnr, frames, ssim, ssim_frames = pv.eval_ckpt(
+                mode, tar, scene_args, f"ours-tpu s{seed}")
+            results[seed] = {"psnr": psnr, "frames": frames, "ssim": ssim,
+                             "ssim_frames": ssim_frames, "train_s": t}
         except Exception:
             traceback.print_exc()
             results[seed] = None
