@@ -29,8 +29,15 @@ run llff_bf16 PARITY_MODE=llff PARITY_ITERS=5000 PARITY_SEEDS=0,1,3 \
     PARITY_OUT=$OUT/llff_bf16
 run llff_warm PARITY_MODE=llff PARITY_ITERS=5000 PARITY_SEEDS=0,1,3 \
     PARITY_OUT=$OUT/llff_warm SWNERF_FUSED_DTYPE_SCHEDULE=f32@2000
+# SWNERF_WATCHDOG_SPREAD=0.3: the parity config trains with the
+# reference's raw_noise_std=1e0, whose sigma-noise jitters the train-batch
+# render, so a collapsed background-only plateau (seed 2: 12.2 dB) shows
+# ~0.1-0.3 dB print-to-print spread rather than the noise-free <0.02;
+# alive seeds cross the 16 dB floor within the first prints, so the wider
+# spread cannot false-trip them.
 run dnerf_tex PARITY_MODE=dnerf PARITY_SCENE=textured PARITY_ITERS=5000 \
-    PARITY_SEEDS=0,1,2,3,4,5 PARITY_OUT=$OUT/dnerf_tex SWNERF_AUTO_RESEED=2
+    PARITY_SEEDS=0,1,2,3,4,5 PARITY_OUT=$OUT/dnerf_tex SWNERF_AUTO_RESEED=2 \
+    SWNERF_WATCHDOG_SPREAD=0.3
 run tnerf_tex PARITY_MODE=tnerf PARITY_SCENE=textured PARITY_ITERS=5000 \
     PARITY_SEEDS=0,1,2,3,4,5 PARITY_OUT=$OUT/tnerf_tex
 echo "GATES DONE $(date -u +%FT%TZ)" > "$OUT/DONE"
