@@ -131,8 +131,10 @@ def main():
         "dnerf": bouncingballs_scale_config,
         "tnerf": tnerf_scale_config,
     }[MODE](data)
-    if dyn:
-        cfg["dataset_type"] = "blender_dnerf"
+    # dataset_type stays "blender" for the dnerf/tnerf runners — they
+    # route to the dynamic loader internally (run_dnerf.py/run_tnerf.py
+    # reject anything else, mirroring the reference's blender-only
+    # dynamic trainers).
     if N_RAND:
         cfg["N_rand"] = N_RAND
     if N_SAMP:
