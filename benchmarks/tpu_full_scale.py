@@ -70,11 +70,14 @@ def lego_scale_config(data):
         "precrop_frac": "0.5",
         "testskip": "1",
         # Reference periodic cadence (utils.py defaults used by lego.txt),
-        # clamped so short FS_ITERS smokes still land a final checkpoint:
-        "i_weights": str(min(10000, ITERS)),
+        # clamped so short FS_ITERS smokes still land a final checkpoint.
+        # FS_IVIDEO/FS_ITEST/FS_IWEIGHTS override for the 800k runs, where
+        # the reference cadence would spend ~45 min rendering 20 spiral
+        # videos — the checkpoint chain keeps the 10k cadence regardless:
+        "i_weights": os.environ.get("FS_IWEIGHTS", str(min(10000, ITERS))),
         "i_print": "1000",
-        "i_video": str(min(50000, 2 * ITERS)),
-        "i_testset": str(min(50000, 2 * ITERS)),
+        "i_video": os.environ.get("FS_IVIDEO", str(min(50000, 2 * ITERS))),
+        "i_testset": os.environ.get("FS_ITEST", str(min(50000, 2 * ITERS))),
         "i_img": "10000000",
         "half_res": "False",
     }
